@@ -1,0 +1,393 @@
+"""DDPM/DDIM engine, functional and fully jit-compatible.
+
+Capability-parity re-design of the reference GaussianDiffusion
+(/root/reference/DiffBinaural/diffusion_utils/diffusion_pytorch.py:98-482):
+
+  * objectives pred_noise / pred_x0 / pred_v        (:252-266)
+  * training loss p_losses with the noised-mix condition `mix_t` q-sampled
+    with the SAME noise as the target (:440-441, broadcasting the (B,1,H,W)
+    mix against (B,2,H,W) noise to a 2-channel mix_t), optional CFG dropout
+    zeroing the condition per batch element (:446-451), per-sample-mean L1/L2
+    × p2 weight (:468-472)
+  * DDIM sampler with the strided time pairs, the mono condition duplicated
+    to 2 channels, and the noised-mix carried as condition[2] and updated
+    with the same per-step noise as the state (:311-371) — here the mutable
+    condition update becomes a lax.scan carry
+  * ancestral p_sample_loop (:291-309), interpolate (:397-415), and the
+    dynamic-threshold process_xstart (:373-389)
+
+The model is passed as a closure `model_fn(x, t, condition) -> prediction`
+where condition = (mix, visual_feat, mix_t); all schedule constants live in a
+numpy DiffusionSchedule and embed as jit constants.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import DiffusionSchedule, make_schedule
+
+
+class ModelPrediction(NamedTuple):
+    pred_noise: jnp.ndarray
+    pred_x_start: jnp.ndarray
+
+
+def _extract(a: np.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather per-batch schedule constants and right-pad dims for broadcast."""
+    out = jnp.asarray(a)[t]
+    return out.reshape(out.shape + (1,) * (ndim - 1))
+
+
+def normalize_to_neg_one_to_one(x):
+    return x * 2 - 1
+
+
+def unnormalize_to_zero_to_one(x):
+    return (x + 1) * 0.5
+
+
+def identity(x, *args, **kwargs):
+    return x
+
+
+class GaussianDiffusion:
+    """Stateless diffusion math over an externally-managed model function."""
+
+    def __init__(
+        self,
+        *,
+        image_size: int = 80,
+        timesteps: int = 1000,
+        sampling_timesteps: int | None = None,
+        loss_type: str = "l1",
+        objective: str = "pred_noise",
+        beta_schedule: str = "cosine",
+        schedule_fn_kwargs: dict | None = None,
+        p2_loss_weight_gamma: float = 0.0,
+        p2_loss_weight_k: float = 1.0,
+        ddim_sampling_eta: float = 0.0,
+        auto_normalize: bool = False,
+        min_snr_loss_weight: bool = False,
+        min_snr_gamma: float = 5.0,
+    ):
+        assert objective in {"pred_noise", "pred_x0", "pred_v"}
+        self.image_size = image_size
+        self.objective = objective
+        self.loss_type = loss_type
+        self.ddim_sampling_eta = ddim_sampling_eta
+
+        self.schedule: DiffusionSchedule = make_schedule(
+            beta_schedule,
+            timesteps,
+            p2_loss_weight_gamma=p2_loss_weight_gamma,
+            p2_loss_weight_k=p2_loss_weight_k,
+            **(schedule_fn_kwargs or {}),
+        )
+        self.num_timesteps = self.schedule.num_timesteps
+        self.sampling_timesteps = (
+            sampling_timesteps if sampling_timesteps is not None else timesteps
+        )
+        assert self.sampling_timesteps <= timesteps
+        self.is_ddim_sampling = self.sampling_timesteps < timesteps
+
+        # snr-derived loss weight (unused by default config but kept for parity,
+        # reference :186-203)
+        snr = self.schedule.alphas_cumprod / (1 - self.schedule.alphas_cumprod)
+        maybe_clipped = np.minimum(snr, min_snr_gamma) if min_snr_loss_weight else snr
+        if objective == "pred_noise":
+            self.loss_weight = (maybe_clipped / snr).astype(np.float32)
+        elif objective == "pred_x0":
+            self.loss_weight = maybe_clipped.astype(np.float32)
+        else:
+            self.loss_weight = (maybe_clipped / (snr + 1)).astype(np.float32)
+
+        self.normalize = normalize_to_neg_one_to_one if auto_normalize else identity
+        self.unnormalize = unnormalize_to_zero_to_one if auto_normalize else identity
+
+    # ------------------------------------------------------------------ q/p math
+
+    def q_sample(self, x_start, t, noise, scale: float = 1.0):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * scale * x_start
+            + _extract(s.sqrt_one_minus_alphas_cumprod, t, max(x_start.ndim, noise.ndim))
+            * noise
+        )
+
+    def predict_start_from_noise(self, x_t, t, noise):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+            - _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
+        )
+
+    def predict_noise_from_start(self, x_t, t, x0):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - x0
+        ) / _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+
+    def predict_v(self, x_start, t, noise):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * noise
+            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * x_start
+        )
+
+    def predict_start_from_v(self, x_t, t, v):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_alphas_cumprod, t, x_t.ndim) * x_t
+            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * v
+        )
+
+    def q_posterior(self, x_start, x_t, t):
+        s = self.schedule
+        mean = (
+            _extract(s.posterior_mean_coef1, t, x_t.ndim) * x_start
+            + _extract(s.posterior_mean_coef2, t, x_t.ndim) * x_t
+        )
+        var = _extract(s.posterior_variance, t, x_t.ndim)
+        log_var = _extract(s.posterior_log_variance_clipped, t, x_t.ndim)
+        return mean, var, log_var
+
+    # ------------------------------------------------------------------ model io
+
+    def model_predictions(
+        self, model_fn, x, t, condition, clip_x_start: bool = True
+    ) -> ModelPrediction:
+        model_output = model_fn(x, t, condition)
+        clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else identity
+
+        if self.objective == "pred_noise":
+            pred_noise = model_output
+            x_start = clip(self.predict_start_from_noise(x, t, pred_noise))
+        elif self.objective == "pred_x0":
+            x_start = clip(model_output)
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
+        else:  # pred_v
+            x_start = clip(self.predict_start_from_v(x, t, model_output))
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
+        return ModelPrediction(pred_noise, x_start)
+
+    def process_xstart(self, x, dynamic_threshold: bool = False,
+                       percentile: float = 0.95):
+        """(reference :373-389)"""
+        if dynamic_threshold:
+            flat = jnp.abs(x.reshape(x.shape[0], -1))
+            s = jnp.quantile(flat, percentile, axis=-1)
+            s = jnp.clip(s, 0.9, None).reshape((-1,) + (1,) * (x.ndim - 1))
+            return jnp.clip(x, 0.0, s)
+        return jnp.clip(x, 0.0, 1.0)
+
+    # ------------------------------------------------------------------ training
+
+    def p_losses(
+        self,
+        model_fn,
+        rng: jax.Array,
+        x_start: jnp.ndarray,
+        condition: Sequence[jnp.ndarray],
+        t: jnp.ndarray | None = None,
+        noise: jnp.ndarray | None = None,
+        weight=None,  # accepted for API parity; unused (reference :434-472)
+        cfg: bool = False,
+        threshold: float = 0.1,
+    ) -> jnp.ndarray:
+        """Training loss. condition = (mix, visual_feature); mix_t is derived."""
+        del weight
+        b = x_start.shape[0]
+        rng_t, rng_noise, rng_cfg = jax.random.split(rng, 3)
+        if t is None:
+            t = jax.random.randint(rng_t, (b,), 0, self.num_timesteps)
+        if noise is None:
+            noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
+
+        x = self.q_sample(x_start, t, noise)
+        mix, visual_feature = condition[0], condition[1]
+        # broadcast: (B,1,H,W) mix + (B,2,H,W) noise → 2-channel mix_t (:441)
+        mix_t = self.q_sample(mix, t, noise)
+
+        if cfg:
+            drop = jax.random.uniform(rng_cfg, (b,)) < threshold
+            dmask = drop.reshape((-1,) + (1,) * (mix.ndim - 1))
+            mix = jnp.where(dmask, 0.0, mix)
+            vmask = drop.reshape((-1,) + (1,) * (visual_feature.ndim - 1))
+            visual_feature = jnp.where(vmask, 0.0, visual_feature)
+
+        model_out = model_fn(x, t, (mix, visual_feature, mix_t))
+
+        if self.objective == "pred_noise":
+            target = noise
+        elif self.objective == "pred_x0":
+            target = x_start
+        else:
+            target = self.predict_v(x_start, t, noise)
+
+        if self.loss_type == "l1":
+            loss = jnp.abs(model_out - target)
+        elif self.loss_type == "l2":
+            loss = (model_out - target) ** 2
+        else:
+            raise ValueError(f"invalid loss type {self.loss_type}")
+        loss = loss.reshape(b, -1).mean(axis=-1)
+        loss = loss * jnp.asarray(self.schedule.p2_loss_weight)[t]
+        return loss.mean()
+
+    def __call__(self, model_fn, rng, img, condition, **kwargs):
+        """Train-mode forward (reference :474-482): sample t, normalize, loss."""
+        h, w = img.shape[-2], img.shape[-1]
+        assert h == self.image_size and w == self.image_size, (
+            f"height and width of image must be {self.image_size}"
+        )
+        img = self.normalize(img)
+        return self.p_losses(model_fn, rng, img, condition, **kwargs)
+
+    # ------------------------------------------------------------------ sampling
+
+    def _ddim_time_pairs(self, sampling_timesteps: int) -> np.ndarray:
+        times = np.linspace(-1, self.num_timesteps - 1, sampling_timesteps + 1)
+        times = list(reversed(times.astype(int).tolist()))
+        return np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)
+
+    def ddim_sample(
+        self,
+        model_fn,
+        condition: Sequence[jnp.ndarray],
+        rng: jax.Array,
+        return_all_timesteps: bool = False,
+        silence_mask_sampling: bool = False,
+        threshold: float = 2e-3,
+        sampling_timesteps: int | None = None,
+    ):
+        """DDIM sampling loop as lax.scan (reference :311-371).
+
+        condition = (mix, visual_feature) with mix (B,1,H,W); the state img
+        and the noised-mix condition are both (B,2,H,W) and carried together.
+        """
+        if sampling_timesteps is None:
+            sampling_timesteps = self.sampling_timesteps
+        eta = self.ddim_sampling_eta
+        s = self.schedule
+
+        mix = jax.lax.stop_gradient(condition[0])
+        mix = jnp.tile(mix, (1, 2, 1, 1))  # (:322-323)
+        visual_feature = condition[1]
+        batch = mix.shape[0]
+        silence_mask = (mix < threshold).astype(mix.dtype)
+
+        rng_init, rng_steps = jax.random.split(rng)
+        img0 = jax.random.normal(rng_init, mix.shape, mix.dtype)
+        mix_t0 = img0 + mix  # (:328)
+
+        time_pairs = jnp.asarray(self._ddim_time_pairs(sampling_timesteps))
+        step_keys = jax.random.split(rng_steps, time_pairs.shape[0])
+
+        alphas_cumprod = jnp.asarray(s.alphas_cumprod)
+
+        def step(carry, inputs):
+            img, mix_t = carry
+            (time, time_next), key = inputs
+            time_cond = jnp.full((batch,), time, dtype=jnp.int32)
+            pred_noise, x_start = self.model_predictions(
+                model_fn, img, time_cond, (mix, visual_feature, mix_t),
+                clip_x_start=True,
+            )
+
+            if silence_mask_sampling:  # (:341-343, test_pos.py path)
+                x_start = mix * silence_mask + x_start * (1 - silence_mask)
+                x_start = self.process_xstart(x_start)
+
+            alpha = alphas_cumprod[time]
+            alpha_next = alphas_cumprod[jnp.maximum(time_next, 0)]
+            sigma = eta * jnp.sqrt(
+                (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+            )
+            c = jnp.sqrt(1 - alpha_next - sigma**2)
+            noise = jax.random.normal(key, img.shape, img.dtype)
+
+            img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+            mix_t_next = mix * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+
+            # final step (time_next < 0): img ← x_start, mix_t untouched (:345-348)
+            last = time_next < 0
+            img_next = jnp.where(last, x_start, img_next)
+            mix_t_next = jnp.where(last, mix_t, mix_t_next)
+            return (img_next, mix_t_next), (img_next if return_all_timesteps else 0)
+
+        (img, _), ys = jax.lax.scan(step, (img0, mix_t0), (time_pairs, step_keys))
+
+        if return_all_timesteps:
+            # (B, steps+1, C, H, W) with the initial noise first (:330, :368)
+            all_imgs = jnp.concatenate([img0[:, None], jnp.moveaxis(ys, 0, 1)], axis=1)
+            return self.unnormalize(all_imgs)
+        return self.unnormalize(img)
+
+    def p_sample_loop(
+        self,
+        model_fn,
+        condition: Sequence[jnp.ndarray],
+        shape: tuple,
+        rng: jax.Array,
+        return_all_timesteps: bool = False,
+    ):
+        """Ancestral sampler (reference :291-309) as lax.scan over all T steps."""
+        rng_init, rng_steps = jax.random.split(rng)
+        img0 = jax.random.normal(rng_init, shape)
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        keys = jax.random.split(rng_steps, self.num_timesteps)
+        batch = shape[0]
+
+        def step(img, inputs):
+            t, key = inputs
+            t_b = jnp.full((batch,), t, dtype=jnp.int32)
+            _, x_start = self.model_predictions(
+                model_fn, img, t_b, condition, clip_x_start=True
+            )
+            # reference p_mean_variance clamps x_start to [0,1] here (:276)
+            x_start = jnp.clip(x_start, 0.0, 1.0)
+            mean, _, log_var = self.q_posterior(x_start, img, t_b)
+            noise = jnp.where(
+                t > 0, jax.random.normal(key, img.shape, img.dtype), 0.0
+            )
+            img = mean + jnp.exp(0.5 * log_var) * noise
+            return img, (img if return_all_timesteps else 0)
+
+        img, ys = jax.lax.scan(step, img0, (ts, keys))
+        if return_all_timesteps:
+            all_imgs = jnp.concatenate([img0[:, None], jnp.moveaxis(ys, 0, 1)], axis=1)
+            return self.unnormalize(all_imgs)
+        return self.unnormalize(img)
+
+    def interpolate(self, model_fn, x1, x2, rng, t: int | None = None,
+                    lam: float = 0.5):
+        """(reference :397-415)"""
+        if t is None:
+            t = self.num_timesteps - 1
+        b = x1.shape[0]
+        rng_n, rng_steps = jax.random.split(rng)
+        t_b = jnp.full((b,), t, dtype=jnp.int32)
+        k1, k2 = jax.random.split(rng_n)
+        xt1 = self.q_sample(x1, t_b, jax.random.normal(k1, x1.shape, x1.dtype))
+        xt2 = self.q_sample(x2, t_b, jax.random.normal(k2, x2.shape, x2.dtype))
+        img = (1 - lam) * xt1 + lam * xt2
+
+        ts = jnp.arange(t - 1, -1, -1)
+        keys = jax.random.split(rng_steps, t)
+
+        def step(img, inputs):
+            ti, key = inputs
+            t_bi = jnp.full((b,), ti, dtype=jnp.int32)
+            _, x_start = self.model_predictions(model_fn, img, t_bi, None)
+            x_start = jnp.clip(x_start, 0.0, 1.0)
+            mean, _, log_var = self.q_posterior(x_start, img, t_bi)
+            noise = jnp.where(ti > 0, jax.random.normal(key, img.shape), 0.0)
+            return mean + jnp.exp(0.5 * log_var) * noise, 0
+
+        img, _ = jax.lax.scan(step, img, (ts, keys))
+        return img
