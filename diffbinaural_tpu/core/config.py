@@ -35,7 +35,7 @@ def build_env(config, config_name, path):
         shutil.copyfile(config, t_path)
 
 
-@dataclass
+@dataclass(frozen=True)
 class AudioConfig:
     """Shared audio-frontend parameters (reference production config:
     BigVGAN/configs/bigvgan_binaural_22khz_80band_256x.json:46-57)."""
@@ -54,7 +54,7 @@ class AudioConfig:
     mel_max: float = 2.5
 
 
-@dataclass
+@dataclass(frozen=True)
 class DiffusionConfig:
     """Stage-1 diffusion hyperparameters
     (reference: DiffBinaural/train_fairplay.py:41-52)."""
@@ -72,7 +72,7 @@ class DiffusionConfig:
     self_condition: bool = True
 
 
-@dataclass
+@dataclass(frozen=True)
 class UnetConfig:
     """Stage-1 UNet (reference: DiffBinaural/modules/unet.py:168-253 with
     build_unet defaults models.py:38-43: dim=64, in=2, out=2)."""
@@ -89,7 +89,7 @@ class UnetConfig:
     linear_attn_resolution: int = 4
 
 
-@dataclass
+@dataclass(frozen=True)
 class VocoderConfig:
     """BigVGAN generator (reference: bigvgan_binaural_22khz_80band_256x.json)."""
 
@@ -122,3 +122,16 @@ class VocoderConfig:
             use_tanh_at_final=h.get("use_tanh_at_final", True),
             use_bias_at_final=h.get("use_bias_at_final", True),
         )
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    """ViT-B/32 image tower (reference: clip.load("ViT-B/32"),
+    DiffBinaural/modules/models.py:17-30)."""
+
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512

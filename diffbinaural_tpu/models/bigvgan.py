@@ -1,0 +1,387 @@
+"""BigVGAN-style vocoder generator, TPU-native (flax, channels-last).
+
+Capability-parity re-design of /root/reference/BigVGAN/bigvgan.py (:31-401)
++ activations.py (:9-126) + alias_free_activation/{act,filter,resample}.py:
+
+  * 7-tap weight-norm conv_pre 80→1536 (:286-288)
+  * 6 ConvTranspose1d upsample stages rates (4,4,2,2,2,2), kernels
+    (8,8,4,4,4,4), channels halving each stage (:300-317)
+  * per stage, 3 AMPBlock1s (kernels 3/7/11, dilations 1/3/5) averaged
+    (:319-328, :365-376); AMPBlock2 variant (:150-241)
+  * anti-aliased Snake/SnakeBeta activations: 2× kaiser-sinc upsample →
+    snake → 2× low-pass downsample (act.py:8-30) — the reference's only
+    native-kernel target; here an XLA polyphase path with an optional fused
+    Pallas kernel (ops.alias_free_act)
+  * activation_post + 7-tap conv to 1 channel, tanh or clamp final
+    (:330-386)
+
+Layout: audio/features are (B, T, C) channels-last internally — C rides the
+TPU lane dimension and the 1D convs hit the MXU as (T×C)·(C×C') matmuls.
+The public API keeps the reference's (B, num_mels, T) → (B, 1, T·256)
+contract.
+
+Weight norm is parametrised directly (v, g) with g initialised to ‖v‖ so the
+initial kernel equals v, matching torch.nn.utils.weight_norm semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ..core.config import VocoderConfig
+from ..signal.filters import kaiser_sinc_filter1d
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+# ---------------------------------------------------------------------------
+# weight-normalised convolutions (channels-last)
+# ---------------------------------------------------------------------------
+
+
+def _normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class WNConv1d(nn.Module):
+    """weight_norm(Conv1d) on (B, T, C).  Kernel (k, in, out); the norm is
+    taken over (k, in) per output channel (torch weight_norm dim=0)."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    stride: int = 1
+    use_bias: bool = True
+    init_std: Optional[float] = None  # None → lecun_normal (torch default-ish)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, cin = self.kernel_size, x.shape[-1]
+        kernel_init = (
+            _normal_init(self.init_std)
+            if self.init_std is not None
+            else nn.initializers.lecun_normal()
+        )
+        v = self.param("v", kernel_init, (k, cin, self.features))
+        g = self.param(
+            "g", lambda _key: jnp.sqrt((v**2).sum(axis=(0, 1))),
+        )
+        norm = jnp.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
+        kernel = v * (g[None, None, :] / jnp.maximum(norm, 1e-12))
+
+        pad = get_padding(self.kernel_size, self.dilation)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride,),
+            padding=((pad, pad),),
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class WNConvTranspose1d(nn.Module):
+    """weight_norm(ConvTranspose1d(k, stride=u, padding=(k-u)//2)) on
+    (B, T, C) → (B, T·u, C').  Expressed as the XLA-native lhs-dilated
+    convolution with a flipped, transposed kernel (reference :300-317)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, u, cin = self.kernel_size, self.stride, x.shape[-1]
+        # torch ConvTranspose1d weight: (in, out, k); norm over (out, k) per
+        # *input* channel (dim=0).  Our v: (k, out, in) with norm over (k, out).
+        v = self.param("v", _normal_init(0.01), (k, self.features, cin))
+        g = self.param("g", lambda _key: jnp.sqrt((v**2).sum(axis=(0, 1))))
+        norm = jnp.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
+        w = v * (g[None, None, :] / jnp.maximum(norm, 1e-12))  # (k, out, in)
+
+        # conv_transpose(x, w, stride=u, padding=p) ==
+        #   conv(dilate(x, u), flip_k(w)^{in↔out}, padding=(k-1-p, k-1-p))
+        p = (k - u) // 2
+        kernel = jnp.flip(w, axis=0).transpose(0, 2, 1)  # (k, in, out)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1,),
+            padding=((k - 1 - p, k - 1 - p),),
+            lhs_dilation=(u,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        b = self.param("b", nn.initializers.zeros, (self.features,))
+        return y + b.astype(self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# snake activations (reference activations.py)
+# ---------------------------------------------------------------------------
+
+
+def snake(x, alpha, beta, eps: float = 1e-9):
+    """x + 1/β · sin²(αx), per-channel α/β on the last axis."""
+    return x + (1.0 / (beta + eps)) * jnp.sin(x * alpha) ** 2
+
+
+class Snake(nn.Module):
+    """α-only snake (reference activations.py:9-62): β ≡ α."""
+
+    channels: int
+    alpha_logscale: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        a = jnp.exp(alpha) if self.alpha_logscale else alpha
+        return snake(x, a, a)
+
+
+class SnakeBeta(nn.Module):
+    """separate α (frequency) and β (magnitude) (reference :65-126)."""
+
+    channels: int
+    alpha_logscale: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,))
+        beta = self.param("beta", init, (self.channels,))
+        if self.alpha_logscale:
+            return snake(x, jnp.exp(alpha), jnp.exp(beta))
+        return snake(x, alpha, beta)
+
+
+# ---------------------------------------------------------------------------
+# anti-aliased activation: 2× up-FIR → snake → 2× down-FIR
+# ---------------------------------------------------------------------------
+
+
+def _depthwise_fir_nhc(x, taps, stride=1, lhs_dilation=1, padding=((0, 0),)):
+    """Depthwise FIR over (B, T, C) with shared taps (k,)."""
+    c = x.shape[-1]
+    rhs = jnp.broadcast_to(
+        jnp.asarray(taps, jnp.float32)[:, None, None], (len(taps), 1, c)
+    )
+    return jax.lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(stride,),
+        padding=padding,
+        lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def upsample2_nhc(x: jnp.ndarray, ratio: int = 2, kernel_size: int = 12):
+    """ratio× kaiser-sinc upsample on (B, T, C) (reference resample.py:10-38)."""
+    taps = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
+    pad = kernel_size // ratio - 1
+    pad_left = pad * ratio + (kernel_size - ratio) // 2
+    pad_right = pad * ratio + (kernel_size - ratio + 1) // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    y = ratio * _depthwise_fir_nhc(
+        x, taps[::-1], lhs_dilation=ratio,
+        padding=((kernel_size - 1, kernel_size - 1),),
+    )
+    return y[:, pad_left : y.shape[1] - pad_right]
+
+
+def downsample2_nhc(x: jnp.ndarray, ratio: int = 2, kernel_size: int = 12):
+    """ratio× anti-aliased downsample on (B, T, C) (reference resample.py:41-58)."""
+    taps = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, kernel_size)
+    even = kernel_size % 2 == 0
+    pad_left = kernel_size // 2 - int(even)
+    pad_right = kernel_size // 2
+    x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
+    return _depthwise_fir_nhc(x, taps, stride=ratio)
+
+
+class Activation1d(nn.Module):
+    """2× up-FIR → snake(β) → 2× down-FIR (reference act.py:8-30).
+
+    This is the reference's fused-CUDA-kernel target (the upstream NVIDIA
+    CUDA Activation1d).  The default path composes three XLA ops; the fused
+    Pallas TPU kernel lives in ops.alias_free_act and is wired in by the
+    inference path where shapes are static.
+    """
+
+    channels: int
+    activation: str = "snakebeta"  # 'snake' | 'snakebeta'
+    alpha_logscale: bool = True
+    up_ratio: int = 2
+    down_ratio: int = 2
+    up_kernel_size: int = 12
+    down_kernel_size: int = 12
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
+        act = act_cls(self.channels, self.alpha_logscale, name="act")
+        x32 = x.astype(jnp.float32)
+        up = upsample2_nhc(x32, self.up_ratio, self.up_kernel_size)
+        mid = act(up)
+        return downsample2_nhc(mid, self.down_ratio, self.down_kernel_size).astype(
+            x.dtype
+        )
+
+
+# ---------------------------------------------------------------------------
+# AMP blocks (reference bigvgan.py:31-241)
+# ---------------------------------------------------------------------------
+
+
+class AMPBlock1(nn.Module):
+    """Pairs of (dilated conv, unit conv) with anti-aliased snake between
+    (reference :31-147)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Sequence[int] = (1, 3, 5)
+    activation: str = "snakebeta"
+    alpha_logscale: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = Activation1d(
+                self.channels, self.activation, self.alpha_logscale,
+                name=f"act{2 * i}",
+            )(x)
+            xt = WNConv1d(
+                self.channels, self.kernel_size, dilation=d, init_std=0.01,
+                dtype=self.dtype, name=f"conv1_{i}",
+            )(xt)
+            xt = Activation1d(
+                self.channels, self.activation, self.alpha_logscale,
+                name=f"act{2 * i + 1}",
+            )(xt)
+            xt = WNConv1d(
+                self.channels, self.kernel_size, dilation=1, init_std=0.01,
+                dtype=self.dtype, name=f"conv2_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class AMPBlock2(nn.Module):
+    """Single conv per dilation (reference :150-241)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Sequence[int] = (1, 3, 5)
+    activation: str = "snakebeta"
+    alpha_logscale: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = Activation1d(
+                self.channels, self.activation, self.alpha_logscale, name=f"act{i}"
+            )(x)
+            xt = WNConv1d(
+                self.channels, self.kernel_size, dilation=d, init_std=0.01,
+                dtype=self.dtype, name=f"conv_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+
+class BigVGAN(nn.Module):
+    """mel (B, num_mels, T) → waveform (B, 1, T·∏rates) (reference :244-387)."""
+
+    config: VocoderConfig = VocoderConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        h = self.config
+        num_kernels = len(h.resblock_kernel_sizes)
+        block_cls = AMPBlock1 if h.resblock == "1" else AMPBlock2
+
+        x = jnp.moveaxis(mel, 1, -1)  # (B, T, num_mels)
+        x = WNConv1d(
+            h.upsample_initial_channel, 7, dtype=self.dtype, name="conv_pre"
+        )(x)
+
+        for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+            ch = h.upsample_initial_channel // (2 ** (i + 1))
+            x = WNConvTranspose1d(ch, k, u, dtype=self.dtype, name=f"up_{i}")(x)
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
+            ):
+                out = block_cls(
+                    ch, rk, rd, activation=h.activation,
+                    alpha_logscale=h.snake_logscale, dtype=self.dtype,
+                    name=f"resblock_{i}_{j}",
+                )(x)
+                xs = out if xs is None else xs + out
+            x = xs / num_kernels
+
+        ch = h.upsample_initial_channel // (2 ** len(h.upsample_rates))
+        x = Activation1d(
+            ch, h.activation, h.snake_logscale, name="activation_post"
+        )(x)
+        x = WNConv1d(
+            1, 7, use_bias=h.use_bias_at_final, init_std=0.01, dtype=self.dtype,
+            name="conv_post",
+        )(x)
+        x = x.astype(jnp.float32)
+        if h.use_tanh_at_final:
+            x = jnp.tanh(x)
+        else:
+            x = jnp.clip(x, -1.0, 1.0)
+        return jnp.moveaxis(x, 1, -1)[:, :1]  # (B, 1, T·256)
+
+
+class BinauralBigVGAN(nn.Module):
+    """The missing ``bigvgan_binaural.BinauralBigVGAN`` reconstructed from its
+    call sites (/root/reference/BigVGAN/inference_binaural.py:17-104,
+    inference_diffbinaural_mels.py:16-99; contract documented in SURVEY §2.8):
+    a shared mono generator applied to each channel.
+
+    forward(mel_left (B, 80, T), mel_right (B, 80, T)) → (B, 2, T·256)
+    """
+
+    config: VocoderConfig = VocoderConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel_left: jnp.ndarray, mel_right: jnp.ndarray) -> jnp.ndarray:
+        gen = BigVGAN(self.config, dtype=self.dtype, name="generator")
+        b, m, t = mel_left.shape
+        # batch the two channels through ONE generator call — on TPU this
+        # doubles the matmul batch instead of running the stack twice.
+        both = jnp.concatenate([mel_left, mel_right], axis=0)  # (2B, 80, T)
+        y = gen(both)  # (2B, 1, T·256)
+        return jnp.concatenate([y[:b], y[b:]], axis=1)  # (B, 2, T·256)

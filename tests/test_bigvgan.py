@@ -1,0 +1,142 @@
+"""BigVGAN generator tests: shapes, conv-transpose parity vs torch oracle,
+snake formula, weight-norm semantics, channels-last resamplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from diffbinaural_tpu.core.config import VocoderConfig
+from diffbinaural_tpu.models.bigvgan import (
+    AMPBlock1,
+    Activation1d,
+    BigVGAN,
+    BinauralBigVGAN,
+    WNConv1d,
+    WNConvTranspose1d,
+    downsample2_nhc,
+    snake,
+    upsample2_nhc,
+)
+
+TINY = VocoderConfig(
+    num_mels=8,
+    upsample_rates=(4, 2),
+    upsample_kernel_sizes=(8, 4),
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),),
+)
+
+
+def test_generator_shape_and_range():
+    model = BigVGAN(TINY)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16))
+    params = model.init(jax.random.PRNGKey(1), mel)
+    y = model.apply(params, mel)
+    assert y.shape == (2, 1, 16 * 8)  # ∏(4,2) = 8× upsampling
+    assert float(jnp.abs(y).max()) <= 1.0  # clamp at final (config default)
+
+
+def test_binaural_wrapper_shape():
+    model = BinauralBigVGAN(TINY)
+    l = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16))
+    r = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16))
+    params = model.init(jax.random.PRNGKey(2), l, r)
+    y = model.apply(params, l, r)
+    assert y.shape == (2, 2, 16 * 8)
+    # shared generator: same mel must give the same waveform on both channels
+    y2 = model.apply(params, l, l)
+    np.testing.assert_allclose(np.asarray(y2[:, 0]), np.asarray(y2[:, 1]), atol=1e-6)
+
+
+def test_wn_conv_matches_torch():
+    """WNConv1d at init (kernel == v) vs torch.nn.functional.conv1d."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 32, 6)).astype(np.float32)  # (B, T, C)
+    conv = WNConv1d(features=4, kernel_size=7, dilation=3)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(conv.apply(params, jnp.asarray(x)))
+
+    v = np.asarray(params["params"]["v"])  # (k, in, out)
+    w = torch.from_numpy(v.transpose(2, 1, 0).copy())  # (out, in, k)
+    ref = F.conv1d(
+        torch.from_numpy(x.transpose(0, 2, 1).copy()), w, padding=9, dilation=3
+    ).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_wn_conv_transpose_matches_torch():
+    """WNConvTranspose1d vs torch conv_transpose1d(k=8, stride=4, pad=2)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 16, 6)).astype(np.float32)
+    tconv = WNConvTranspose1d(features=4, kernel_size=8, stride=4)
+    params = tconv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(tconv.apply(params, jnp.asarray(x)))
+
+    v = np.asarray(params["params"]["v"])  # (k, out, in)
+    w = torch.from_numpy(v.transpose(2, 1, 0).copy())  # (in, out, k)
+    ref = F.conv_transpose1d(
+        torch.from_numpy(x.transpose(0, 2, 1).copy()), w, stride=4, padding=2
+    ).numpy().transpose(0, 2, 1)
+    assert ours.shape == ref.shape == (2, 64, 4)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_weight_norm_scales_with_g():
+    """Doubling g must double the (linear) conv output."""
+    x = jnp.ones((1, 16, 3))
+    conv = WNConv1d(features=2, kernel_size=3, use_bias=False)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    y1 = conv.apply(params, x)
+    p2 = jax.tree_util.tree_map(lambda a: a, params)
+    p2 = {"params": {**p2["params"], "g": p2["params"]["g"] * 2.0}}
+    y2 = conv.apply(p2, x)
+    np.testing.assert_allclose(np.asarray(y2), 2 * np.asarray(y1), rtol=1e-5)
+
+
+def test_snake_formula():
+    """snakebeta(x) = x + sin²(αx)/β with logscale α, β
+    (reference activations.py:116-126)."""
+    x = np.linspace(-2, 2, 64, dtype=np.float32)
+    a, b = 0.3, 0.7
+    got = np.asarray(snake(jnp.asarray(x), jnp.exp(a), jnp.exp(b)))
+    want = x + (1.0 / (np.exp(b) + 1e-9)) * np.sin(x * np.exp(a)) ** 2
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_nhc_resamplers_match_ncl_reference():
+    """Channels-last resamplers must equal the (tested) NCT versions."""
+    from diffbinaural_tpu.signal import UpSample1d, DownSample1d
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 5, 64)).astype(np.float32)  # (B, C, T)
+    x_nhc = jnp.asarray(x.transpose(0, 2, 1))
+
+    up_ref = np.asarray(UpSample1d(2, 12)(jnp.asarray(x)))
+    up_nhc = np.asarray(upsample2_nhc(x_nhc, 2, 12)).transpose(0, 2, 1)
+    np.testing.assert_allclose(up_nhc, up_ref, rtol=1e-4, atol=1e-5)
+
+    dn_ref = np.asarray(DownSample1d(2, 12)(jnp.asarray(x)))
+    dn_nhc = np.asarray(downsample2_nhc(x_nhc, 2, 12)).transpose(0, 2, 1)
+    np.testing.assert_allclose(dn_nhc, dn_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_activation1d_preserves_length():
+    act = Activation1d(channels=6)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 48, 6))
+    params = act.init(jax.random.PRNGKey(1), x)
+    y = act.apply(params, x)
+    assert y.shape == x.shape
+
+
+def test_amp_block_residual_structure():
+    """AMPBlock output differs from input but keeps shape; zero conv weights
+    collapse to identity (pure residual path)."""
+    block = AMPBlock1(channels=6, kernel_size=3, dilation=(1, 3))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 6))
+    params = block.init(jax.random.PRNGKey(1), x)
+    y = block.apply(params, x)
+    assert y.shape == x.shape
+    assert not np.allclose(np.asarray(y), np.asarray(x))
