@@ -1,0 +1,4 @@
+from .audio_io import load_wav, save_wav, resample, normalize_audio
+from .meldataset import MelDataset, get_dataset_filelist
+from .binaural import BinauralMelSpectrogramDataset, BinauralCombinedDataset
+from .loader import DataLoader

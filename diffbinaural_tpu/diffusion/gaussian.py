@@ -275,8 +275,8 @@ class GaussianDiffusion:
         eta = self.ddim_sampling_eta
         s = self.schedule
 
-        mix = jax.lax.stop_gradient(condition[0])
-        mix = jnp.tile(mix, (1, 2, 1, 1))  # (:322-323)
+        mono_mix = jax.lax.stop_gradient(condition[0])  # stays 1-ch as cond[0]
+        mix = jnp.tile(mono_mix, (1, 2, 1, 1))  # local 2-ch copy (:322-323)
         visual_feature = condition[1]
         batch = mix.shape[0]
         silence_mask = (mix < threshold).astype(mix.dtype)
@@ -294,8 +294,10 @@ class GaussianDiffusion:
             img, mix_t = carry
             (time, time_next), key = inputs
             time_cond = jnp.full((batch,), time, dtype=jnp.int32)
+            # the model's condition keeps the ORIGINAL mono mix — the
+            # reference's repeat only rebinds a local (:322-329)
             pred_noise, x_start = self.model_predictions(
-                model_fn, img, time_cond, (mix, visual_feature, mix_t),
+                model_fn, img, time_cond, (mono_mix, visual_feature, mix_t),
                 clip_x_start=True,
             )
 

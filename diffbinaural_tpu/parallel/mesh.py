@@ -1,0 +1,87 @@
+"""Mesh + sharding utilities — the TPU-native replacement for the
+reference's parallelism stack.
+
+The reference uses single-process nn.DataParallel for stage 1
+(/root/reference/DiffBinaural/train_realBinaural.py:408) and mp.spawn + DDP
+over NCCL for stage 2 (/root/reference/BigVGAN/train_binaural_both.py:676-684,
+dist_config json:63-67).  Here both collapse to ONE mechanism: a
+``jax.sharding.Mesh`` with a ``data`` axis (batch sharded, params
+replicated → XLA inserts the gradient all-reduce over ICI) and a ``model``
+axis for channel-sharding the wide vocoder convs (the 1536-channel stack
+shards cleanly channelwise — SURVEY §2.6).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+shard the data loader by ``jax.process_index()`` — no rendezvous config.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """(data × model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch axis over 'data', everything else replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put every array with its leading axis split over 'data'."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def _vocoder_spec(leaf, model_size: int) -> P:
+    """Channel-sharding rule for BigVGAN params on the 'model' axis.
+
+    Conv kernels are (k, in, out) / transposed (k, out, in); the out-channel
+    axis is sharded when divisible by the model-axis size (the 1536-channel
+    stack shards cleanly; narrow heads like the 1-channel conv_post stay
+    replicated).  Per-channel vectors (biases, snake α/β, weight-norm g)
+    shard on their only axis under the same rule.
+    """
+    shape = np.shape(leaf)
+    if len(shape) == 3 and shape[2] % model_size == 0 and shape[2] >= model_size:
+        return P(None, None, "model")
+    if len(shape) == 1 and shape[0] % model_size == 0 and shape[0] >= model_size:
+        return P("model")
+    return P()
+
+
+def shard_vocoder_params(params: Any, mesh: Mesh) -> Any:
+    """Lay BigVGAN generator params out channel-sharded over 'model'.
+
+    With model_parallel=1 this is a plain replicate.  XLA handles the halo
+    exchanges/collectives the sharded convs need over ICI.
+    """
+    model_size = mesh.shape["model"]
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, _vocoder_spec(leaf, model_size))
+        ),
+        params,
+    )

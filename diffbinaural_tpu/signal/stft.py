@@ -124,6 +124,35 @@ def stft_magnitude(
     return jnp.moveaxis(mag, -1, -2)  # (..., F, frames)
 
 
+def stft_complex(
+    y: jnp.ndarray,
+    n_fft: int,
+    hop_size: int,
+    win_size: int | None = None,
+    *,
+    center: bool = True,
+    pad_mode: str = "reflect",
+    window: np.ndarray | None = None,
+) -> jnp.ndarray:
+    """Complex STFT with torch.stft(center=True) semantics.
+
+    y: (..., T) → complex64 (..., 1+n_fft//2, n_frames) with
+    n_frames = 1 + T//hop when centered (reflect pad of n_fft//2 each side).
+    Used by the multi-band/multi-resolution discriminators and the
+    multi-scale mel loss (reference loss.py:140-147, discriminators.py:225-244).
+    """
+    if win_size is None:
+        win_size = n_fft
+    win = jnp.asarray(window if window is not None else hann_window(win_size))
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode=pad_mode)
+    frames = _frame(y, n_fft, hop_size)
+    frames = frames * win
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), n=n_fft, axis=-1)
+    return jnp.moveaxis(spec, -1, -2)
+
+
 def dynamic_range_compression(x, C: float = 1.0, clip_val: float = 1e-5):
     """ln-compress (reference: meldataset.py:31-32)."""
     return jnp.log(jnp.clip(x, clip_val, None) * C)
