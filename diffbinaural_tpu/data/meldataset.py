@@ -49,16 +49,16 @@ class _MelFrontend:
 
     def __init__(self, n_fft, num_mels, sampling_rate, hop_size, win_size,
                  fmin, fmax):
-        cpu = jax.devices("cpu")[0]
+        self._cpu = jax.devices("cpu")[0]
         self._fn = jax.jit(
             lambda y: mel_spectrogram(
                 y, n_fft, num_mels, sampling_rate, hop_size, win_size, fmin, fmax
-            ),
-            device=cpu,
+            )
         )
 
     def __call__(self, wav: np.ndarray) -> np.ndarray:
-        return np.asarray(self._fn(jnp.asarray(wav[None])))[0]
+        with jax.default_device(self._cpu):
+            return np.asarray(self._fn(jnp.asarray(wav[None])))[0]
 
 
 class MelDataset:

@@ -1,0 +1,128 @@
+"""Metric battery tests: identities, known signals, torch-free BSS eval."""
+
+import numpy as np
+import pytest
+
+from diffbinaural_tpu.evaluation import (
+    Envelope_distance,
+    MEL_RMSE_distance,
+    STFT_RMSE_distance,
+    STFT_phase_and_magnitude_RMSE_distance,
+    align_signals,
+    bss_eval_sources,
+    calculate_snr,
+    compute_iacc,
+    compute_iacc_difference,
+    compute_ild_error,
+    compute_itd_error,
+    compute_sar_sir_sdr,
+)
+from diffbinaural_tpu.evaluation.mel_rmse import map_pred_to_gt_name
+from diffbinaural_tpu.evaluation.runner import evaluate_binaural_pair
+
+SR = 22050
+
+
+def _stereo(seed=0, t=SR):
+    rng = np.random.default_rng(seed)
+    return (0.1 * rng.standard_normal((2, t))).astype(np.float64)
+
+
+def test_identical_signals_zero_distances():
+    x = _stereo()
+    assert STFT_RMSE_distance(x, x) == 0.0
+    mag, phase = STFT_phase_and_magnitude_RMSE_distance(x, x)
+    assert mag == 0.0 and phase == 0.0
+    assert MEL_RMSE_distance(x, x) == 0.0
+    assert Envelope_distance(x, x) == 0.0
+    assert calculate_snr(x, x) > 100  # noise power ~0
+
+
+def test_snr_known_value():
+    x = _stereo(0)
+    noise = _stereo(1) * 0.1
+    snr = calculate_snr(x, x + noise)
+    expected = 10 * np.log10(np.sum(x**2) / np.sum(noise**2))
+    np.testing.assert_allclose(snr, expected, rtol=1e-6)
+
+
+def test_iacc_identical_channels_is_one():
+    mono = 0.1 * np.random.default_rng(0).standard_normal(SR)
+    x = np.stack([mono, mono])
+    mean, vals = compute_iacc(x)
+    np.testing.assert_allclose(mean, 1.0, atol=1e-6)
+    diff, p, g = compute_iacc_difference(x, x)
+    assert diff == 0.0
+
+
+def test_ild_detects_level_difference():
+    rng = np.random.default_rng(0)
+    mono = 0.1 * rng.standard_normal(SR)
+    balanced = np.stack([mono, mono])
+    skewed = np.stack([mono * 2.0, mono * 0.5])  # L/R = 4 → ~12 dB raw
+    err, p_mean, g_mean = compute_ild_error(skewed, balanced)
+    assert err > 5.0  # weighted dB error clearly nonzero
+    assert abs(g_mean) < 1e-6
+
+
+def test_itd_detects_known_delay():
+    rng = np.random.default_rng(0)
+    mono = rng.standard_normal(SR)
+    delay = 10
+    left = mono[:-delay]
+    right = mono[delay:]  # right LEADS left by `delay`
+    sig = np.stack([left, right])
+    zero = np.stack([mono[:-delay], mono[:-delay]])
+    err_samp, err_ms, p_itd, g_itd = compute_itd_error(sig, zero)
+    assert abs(abs(p_itd) - delay) < 1.0
+    assert abs(g_itd) < 0.5
+    np.testing.assert_allclose(err_samp, abs(p_itd - g_itd), rtol=1e-6)
+
+
+def test_align_signals_recovers_lag():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4000))
+    shifted = x[:, 100:]
+    gt_a, pred_a, lag = align_signals(x, shifted)
+    assert lag == 100
+    np.testing.assert_allclose(gt_a[:, :1000], pred_a[:, :1000] if lag <= 0
+                               else x[:, 100:1100], atol=1e-12)
+
+
+def test_bss_eval_perfect_estimate():
+    """SDR of a perfect estimate must be very high; of noise, low."""
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((2, 8000))
+    sdr, sir, sar, perm = bss_eval_sources(src, src, flen=32)
+    assert np.all(sdr > 50)
+    sar_m, sir_m, sdr_m = compute_sar_sir_sdr(src + 0.5 * rng.standard_normal(
+        (2, 8000)), src, flen=32)
+    assert sdr_m < 20
+
+
+def test_bss_eval_scaled_and_filtered_invariance():
+    """BSS eval projects onto delayed versions: a scaled/delayed copy still
+    scores near-perfect SDR."""
+    rng = np.random.default_rng(1)
+    src = rng.standard_normal((2, 8000))
+    est = np.stack([
+        0.5 * np.roll(src[0], 3),
+        2.0 * src[1],
+    ])
+    sdr, *_ = bss_eval_sources(src, est, flen=32)
+    assert np.all(sdr > 30)  # wraparound edge limits the rolled copy
+
+
+def test_filename_mapping():
+    assert map_pred_to_gt_name("basketball_m40_10.npy") == "basketball_0_10.wav"
+    assert map_pred_to_gt_name("speech_5_2.npy") == "speech_5_2.wav"
+
+
+def test_full_battery_runs():
+    x = _stereo(0, t=SR // 2)
+    y = x + 0.01 * _stereo(1, t=SR // 2)
+    res = evaluate_binaural_pair(y, x, compute_bss=False)
+    for k, v in res.items():
+        assert np.isfinite(v), k
+    assert res["mel_rmse"] < 0.5
+    assert res["snr_db"] > 15
