@@ -1,0 +1,265 @@
+"""Checkpointing: reference-compatible on-disk naming + torch import shims.
+
+Capability parity with the reference checkpoint layer (SURVEY §5.4):
+
+  * stage 1: ``frame_{latest,best}``/``unet_{latest,best}`` + numbered
+    ``frame_%06d``/``unet_%06d``/``history_%06d``
+    (/root/reference/DiffBinaural/train_realBinaural.py:295-325)
+  * stage 2: ``g_%08d`` = {"generator": params} and ``do_%08d`` =
+    {"mpd", "mrd", "optim_g", "optim_d", "steps", "epoch"}
+    (/root/reference/BigVGAN/train_binaural_both.py:1122-1143)
+  * ``scan_checkpoint`` prefix-glob resume (utils.py:97-114,
+    helpers.py:308-327), atomic tmp+rename writes
+    (training_stabilizer.py:250-259)
+  * torch → flax weight import for the BigVGAN generator and the CLIP
+    ViT-B/32 tower, so reference ``.pth`` checkpoints load directly.
+
+Storage format: flax msgpack (`flax.serialization`) — single files, so the
+reference's glob patterns work unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+from flax import serialization
+
+
+# ---------------------------------------------------------------------------
+# save / load / scan
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, pytree: Any):
+    """Atomic tmp+rename write (reference training_stabilizer.py:250-259)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.to_bytes(
+        __np(pytree)
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def __np(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is not None:
+        return serialization.from_bytes(target, data)
+    return serialization.msgpack_restore(data)
+
+
+def scan_checkpoint(cp_dir: str, prefix: str) -> Optional[str]:
+    """Latest checkpoint matching prefix (reference utils.py:97-114)."""
+    pattern = os.path.join(cp_dir, prefix + "*")
+    cps = [p for p in glob.glob(pattern) if not p.endswith(".tmp")]
+    if not cps:
+        return None
+    return sorted(cps)[-1]
+
+
+def save_history(path: str, history: Dict):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(history, f)
+    os.replace(tmp, path)
+
+
+def load_history(path: str) -> Dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# torch → flax import shims
+# ---------------------------------------------------------------------------
+
+
+def _load_torch_state_dict(path_or_sd):
+    if isinstance(path_or_sd, (str, os.PathLike)):
+        import torch
+
+        sd = torch.load(path_or_sd, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "generator" in sd:
+            sd = sd["generator"]
+        return {k: v.numpy() for k, v in sd.items()}
+    return {
+        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+        for k, v in path_or_sd.items()
+    }
+
+
+def import_torch_bigvgan(path_or_sd, config) -> Dict:
+    """Reference BigVGAN generator state dict → our flax param tree.
+
+    torch weight-norm stores weight_v/weight_g; layouts:
+      Conv1d        (out, in, k)   g: (out, 1, 1)
+      ConvTranspose (in, out, k)   g: (in, 1, 1)
+    ours: WNConv1d v (k, in, out), g (out,);
+          WNConvTranspose1d v (k, out, in), g (in,).
+    """
+    sd = _load_torch_state_dict(path_or_sd)
+    params: Dict[str, Any] = {}
+
+    def conv(dst, src, bias=True):
+        params[dst] = {
+            "v": sd[f"{src}.weight_v"].transpose(2, 1, 0),
+            "g": sd[f"{src}.weight_g"].reshape(-1),
+        }
+        if bias and f"{src}.bias" in sd:
+            params[dst]["b"] = sd[f"{src}.bias"]
+
+    def tconv(dst, src):
+        params[dst] = {
+            "v": sd[f"{src}.weight_v"].transpose(2, 1, 0),
+            "g": sd[f"{src}.weight_g"].reshape(-1),
+            "b": sd[f"{src}.bias"],
+        }
+
+    conv("conv_pre", "conv_pre")
+    num_kernels = len(config.resblock_kernel_sizes)
+    for i in range(len(config.upsample_rates)):
+        tconv(f"up_{i}", f"ups.{i}.0")
+        for j in range(num_kernels):
+            flat = i * num_kernels + j
+            blk: Dict[str, Any] = {}
+            n_dil = len(config.resblock_dilation_sizes[j])
+            for m in range(n_dil):
+                for tname, oname in (
+                    (f"convs1.{m}", f"conv1_{m}"),
+                    (f"convs2.{m}", f"conv2_{m}"),
+                ):
+                    src = f"resblocks.{flat}.{tname}"
+                    blk[oname] = {
+                        "v": sd[f"{src}.weight_v"].transpose(2, 1, 0),
+                        "g": sd[f"{src}.weight_g"].reshape(-1),
+                        "b": sd[f"{src}.bias"],
+                    }
+            for a in range(2 * n_dil):
+                act = {"alpha": sd[f"resblocks.{flat}.activations.{a}.act.alpha"]}
+                beta = f"resblocks.{flat}.activations.{a}.act.beta"
+                if beta in sd:
+                    act["beta"] = sd[beta]
+                blk[f"act{a}"] = {"act": act}
+            params[f"resblock_{i}_{j}"] = blk
+
+    post_act = {"alpha": sd["activation_post.act.alpha"]}
+    if "activation_post.act.beta" in sd:
+        post_act["beta"] = sd["activation_post.act.beta"]
+    params["activation_post"] = {"act": post_act}
+    conv("conv_post", "conv_post", bias=config.use_bias_at_final)
+    return {"params": params}
+
+
+def import_torch_clip_vision(path_or_sd) -> Dict:
+    """OpenAI CLIP ``visual.*`` weights → CLIPVisionTransformer params."""
+    sd = _load_torch_state_dict(path_or_sd)
+    pfx = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    g = lambda k: sd[pfx + k].astype(np.float32)
+
+    def dense(w, b=None):
+        out = {"kernel": w.T.astype(np.float32)}
+        if b is not None:
+            out["bias"] = b.astype(np.float32)
+        return out
+
+    def ln(k):
+        return {"scale": g(f"{k}.weight"), "bias": g(f"{k}.bias")}
+
+    params: Dict[str, Any] = {
+        "conv1": {"kernel": g("conv1.weight").transpose(2, 3, 1, 0)},
+        "class_embedding": g("class_embedding"),
+        "positional_embedding": g("positional_embedding"),
+        "ln_pre": ln("ln_pre"),
+        "ln_post": ln("ln_post"),
+        "proj": g("proj"),
+    }
+    n_layers = max(
+        int(k[len(pfx):].split(".")[2]) for k in sd
+        if k.startswith(pfx + "transformer.resblocks.")
+    ) + 1
+    for i in range(n_layers):
+        b = f"transformer.resblocks.{i}"
+        in_w = g(f"{b}.attn.in_proj_weight")
+        in_b = g(f"{b}.attn.in_proj_bias")
+        d = in_w.shape[0] // 3
+        params[f"resblock_{i}"] = {
+            "ln_1": ln(f"{b}.ln_1"),
+            "ln_2": ln(f"{b}.ln_2"),
+            "attn": {
+                "q_proj": dense(in_w[:d], in_b[:d]),
+                "k_proj": dense(in_w[d : 2 * d], in_b[d : 2 * d]),
+                "v_proj": dense(in_w[2 * d :], in_b[2 * d :]),
+                "out_proj": dense(
+                    g(f"{b}.attn.out_proj.weight"), g(f"{b}.attn.out_proj.bias")
+                ),
+            },
+            "mlp_c_fc": dense(g(f"{b}.mlp.c_fc.weight"), g(f"{b}.mlp.c_fc.bias")),
+            "mlp_c_proj": dense(
+                g(f"{b}.mlp.c_proj.weight"), g(f"{b}.mlp.c_proj.bias")
+            ),
+        }
+    return {"params": params}
+
+
+def export_bigvgan_to_torch(params: Dict, config) -> Dict[str, np.ndarray]:
+    """Inverse of import_torch_bigvgan — emit a reference-layout state dict
+    (numpy values; wrap in torch tensors to torch.save)."""
+    p = params["params"] if "params" in params else params
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(src, dst, bias=True):
+        sd[f"{dst}.weight_v"] = np.asarray(p[src]["v"]).transpose(2, 1, 0)
+        sd[f"{dst}.weight_g"] = np.asarray(p[src]["g"]).reshape(-1, 1, 1)
+        if bias and "b" in p[src]:
+            sd[f"{dst}.bias"] = np.asarray(p[src]["b"])
+
+    conv("conv_pre", "conv_pre")
+    num_kernels = len(config.resblock_kernel_sizes)
+    for i in range(len(config.upsample_rates)):
+        conv(f"up_{i}", f"ups.{i}.0")
+        for j in range(num_kernels):
+            flat = i * num_kernels + j
+            blk = p[f"resblock_{i}_{j}"]
+            n_dil = len(config.resblock_dilation_sizes[j])
+            for m in range(n_dil):
+                for oname, tname in (
+                    (f"conv1_{m}", f"convs1.{m}"),
+                    (f"conv2_{m}", f"convs2.{m}"),
+                ):
+                    sd[f"resblocks.{flat}.{tname}.weight_v"] = np.asarray(
+                        blk[oname]["v"]
+                    ).transpose(2, 1, 0)
+                    sd[f"resblocks.{flat}.{tname}.weight_g"] = np.asarray(
+                        blk[oname]["g"]
+                    ).reshape(-1, 1, 1)
+                    sd[f"resblocks.{flat}.{tname}.bias"] = np.asarray(
+                        blk[oname]["b"]
+                    )
+            for a in range(2 * n_dil):
+                act = blk[f"act{a}"]["act"]
+                sd[f"resblocks.{flat}.activations.{a}.act.alpha"] = np.asarray(
+                    act["alpha"]
+                )
+                if "beta" in act:
+                    sd[f"resblocks.{flat}.activations.{a}.act.beta"] = (
+                        np.asarray(act["beta"])
+                    )
+    act = p["activation_post"]["act"]
+    sd["activation_post.act.alpha"] = np.asarray(act["alpha"])
+    if "beta" in act:
+        sd["activation_post.act.beta"] = np.asarray(act["beta"])
+    conv("conv_post", "conv_post", bias=config.use_bias_at_final)
+    return sd
