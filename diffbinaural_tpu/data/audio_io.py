@@ -30,7 +30,23 @@ except Exception:  # pragma: no cover
 
 
 def load_wav(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
-    """→ (audio float32 in [-1, 1], sr).  Shape (T,) mono or (C, T)."""
+    """→ (audio float32 in [-1, 1], sr).  Shape (T,) mono or (C, T).
+
+    Uses the native C++ decoder (diffbinaural_tpu.native) when available —
+    WAV parse + int→float conversion run off the GIL."""
+    try:
+        from .. import native
+
+        if path.lower().endswith(".wav") and native.available():
+            got = native.load_wav_native(path)
+            if got is not None:
+                data, sr = got
+                if target_sr is not None and sr != target_sr:
+                    data = resample(data, sr, target_sr)
+                    sr = target_sr
+                return data, sr
+    except Exception:
+        pass
     if _HAVE_SCIPY:
         sr, data = _wavfile.read(path)
         if data.dtype == np.int16:

@@ -143,30 +143,40 @@ def snake(x, alpha, beta, eps: float = 1e-9):
 
 
 class Snake(nn.Module):
-    """α-only snake (reference activations.py:9-62): β ≡ α."""
+    """α-only snake (reference activations.py:9-62): β ≡ α.
+
+    Calling with ``x=None`` returns the RAW (α, β) parameter pair — used by
+    Activation1d's fused Pallas path, which applies the log-scale itself.
+    """
 
     channels: int
     alpha_logscale: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None):
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
+        if x is None:
+            return alpha, alpha
         a = jnp.exp(alpha) if self.alpha_logscale else alpha
         return snake(x, a, a)
 
 
 class SnakeBeta(nn.Module):
-    """separate α (frequency) and β (magnitude) (reference :65-126)."""
+    """separate α (frequency) and β (magnitude) (reference :65-126).
+
+    ``x=None`` returns the raw (α, β) pair (see Snake)."""
 
     channels: int
     alpha_logscale: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None):
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
         beta = self.param("beta", init, (self.channels,))
+        if x is None:
+            return alpha, beta
         if self.alpha_logscale:
             return snake(x, jnp.exp(alpha), jnp.exp(beta))
         return snake(x, alpha, beta)
@@ -235,11 +245,29 @@ class Activation1d(nn.Module):
     down_ratio: int = 2
     up_kernel_size: int = 12
     down_kernel_size: int = 12
+    # Pallas fused path (ops.alias_free_act): numerically verified, but on
+    # v5e the XLA composition currently wins (8.4 ms vs 27 ms at
+    # T=16384, C=768) — the banded-matmul formulation underutilises the MXU.
+    # Off by default until the lane-oriented kernel lands.
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
         act = act_cls(self.channels, self.alpha_logscale, name="act")
+        fusable = (
+            self.use_fused
+            and x.shape[-1] % 128 == 0
+            and self.up_ratio == self.down_ratio == 2
+            and self.up_kernel_size == self.down_kernel_size == 12
+        )
+        if fusable:
+            from ..ops.alias_free_act import fused_alias_free_snake
+
+            alpha, beta = act(None)  # raw params; fused op applies logscale
+            return fused_alias_free_snake(
+                x, alpha, beta, self.alpha_logscale
+            )
         x32 = x.astype(jnp.float32)
         up = upsample2_nhc(x32, self.up_ratio, self.up_kernel_size)
         mid = act(up)

@@ -1,0 +1,85 @@
+"""Fused alias-free snake kernel: parity vs the XLA composition + grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffbinaural_tpu.models.bigvgan import (
+    downsample2_nhc,
+    snake,
+    upsample2_nhc,
+)
+from diffbinaural_tpu.ops import fused_alias_free_snake
+
+EDGE = 4  # boundary samples where edge-handling conventions differ
+
+
+def _xla_reference(x, alpha, beta, logscale=True):
+    a = jnp.exp(alpha) if logscale else alpha
+    b = jnp.exp(beta) if logscale else beta
+    return downsample2_nhc(snake(upsample2_nhc(x), a, b))
+
+
+@pytest.mark.parametrize("t", [160, 513])
+def test_fused_matches_xla_interior(t):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, t, 128)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+
+    want = np.asarray(_xla_reference(x, alpha, beta))
+    got = np.asarray(fused_alias_free_snake(x, alpha, beta, True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        got[:, EDGE:-EDGE], want[:, EDGE:-EDGE], rtol=1e-5, atol=1e-5
+    )
+    # edges stay bounded (different but sane replicate conventions)
+    np.testing.assert_allclose(got[:, :EDGE], want[:, :EDGE], atol=0.2)
+
+
+def test_fused_multi_tile_seams():
+    """t > t_tile exercises the halo DMA across tile seams."""
+    rng = np.random.default_rng(1)
+    t = 1200  # > default t_tile=512 → 3 tiles
+    x = jnp.asarray(rng.standard_normal((1, t, 128)).astype(np.float32))
+    alpha = jnp.zeros(128)
+    beta = jnp.zeros(128)
+    want = np.asarray(_xla_reference(x, alpha, beta))
+    got = np.asarray(fused_alias_free_snake(x, alpha, beta, True))
+    np.testing.assert_allclose(
+        got[:, EDGE:-EDGE], want[:, EDGE:-EDGE], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_linear_scale_mode():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 96, 128)).astype(np.float32))
+    alpha = jnp.ones(128)
+    beta = jnp.ones(128)
+    want = np.asarray(_xla_reference(x, alpha, beta, logscale=False))
+    got = np.asarray(fused_alias_free_snake(x, alpha, beta, False))
+    np.testing.assert_allclose(
+        got[:, EDGE:-EDGE], want[:, EDGE:-EDGE], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_gradients_match_xla():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 64, 128)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+    beta = jnp.zeros(128)
+
+    def loss_fused(x_, a_, b_):
+        return jnp.sum(fused_alias_free_snake(x_, a_, b_, True) ** 2)
+
+    def loss_xla(x_, a_, b_):
+        return jnp.sum(_xla_reference(x_, a_, b_) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, alpha, beta)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, alpha, beta)
+    for a, b in zip(gf, gx):
+        # the VJP is the XLA composition's vjp against the fused primal —
+        # interior equality of the primal keeps the grads within tolerance
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=2e-2)
