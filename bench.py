@@ -96,10 +96,17 @@ def main():
     )
     key = jax.random.PRNGKey(13)
 
+    # NOTE: completion is forced by fetching a scalar to the host —
+    # block_until_ready() alone does NOT guarantee remote execution has
+    # finished on tunneled TPU backends, which silently turns a benchmark
+    # into a dispatch-latency measurement.
+    def sync(x):
+        return float(jnp.sum(x))
+
     # ---- warmup (compile) ------------------------------------------------
     mono, feat = fresh_inputs()
-    stage1(unet_params, mono, feat, key).block_until_ready()
-    stage2(voc_params, clip_mels).block_until_ready()
+    sync(stage1(unet_params, mono, feat, key))
+    sync(stage2(voc_params, clip_mels))
 
     # ---- timed runs ------------------------------------------------------
     n_iters = 3
@@ -113,9 +120,9 @@ def main():
             pred = stage1(
                 unet_params, mono, feat, jax.random.fold_in(key, it * 100 + bi)
             )
-        pred.block_until_ready()
+        sync(pred)
         wav = stage2(voc_params, clip_mels + it * 1e-3)
-        wav.block_until_ready()
+        sync(wav)
     elapsed = (time.time() - t0) / n_iters
 
     clips_per_sec = 1.0 / elapsed

@@ -214,6 +214,42 @@ def import_torch_clip_vision(path_or_sd) -> Dict:
     return {"params": params}
 
 
+def save_pretrained(save_directory: str, params: Dict, config) -> None:
+    """Hub-style local save — the reference generator's
+    PyTorchModelHubMixin surface (/root/reference/BigVGAN/bigvgan.py:403-493):
+    writes ``config.json`` + the generator weights (named
+    ``bigvgan_generator.pt`` like the HF-renamed checkpoints the reference's
+    scan_checkpoint accepts, utils.py:97-114)."""
+    from dataclasses import asdict
+
+    os.makedirs(save_directory, exist_ok=True)
+    cfg = asdict(config) if hasattr(config, "__dataclass_fields__") else dict(
+        config
+    )
+    with open(os.path.join(save_directory, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+    save_checkpoint(
+        os.path.join(save_directory, "bigvgan_generator.pt"),
+        {"generator": params},
+    )
+
+
+def from_pretrained(directory: str):
+    """→ (params, config_dict); inverse of save_pretrained.  Also accepts a
+    reference-layout directory holding a torch ``bigvgan_generator.pt``."""
+    with open(os.path.join(directory, "config.json")) as f:
+        cfg = json.load(f)
+    path = os.path.join(directory, "bigvgan_generator.pt")
+    try:
+        state = load_checkpoint(path)
+        return state["generator"], cfg
+    except Exception:
+        from .config import VocoderConfig
+
+        vcfg = VocoderConfig.from_attrdict(cfg)
+        return import_torch_bigvgan(path, vcfg), cfg
+
+
 def export_bigvgan_to_torch(params: Dict, config) -> Dict[str, np.ndarray]:
     """Inverse of import_torch_bigvgan — emit a reference-layout state dict
     (numpy values; wrap in torch tensors to torch.save)."""

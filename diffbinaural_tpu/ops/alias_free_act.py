@@ -131,10 +131,18 @@ def _fused_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
     intermediate — interior samples are bit-matched to the XLA composition.
     """
     b, t, c = x.shape
-    assert c % LANE == 0, c
+    c_orig = c
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
     t_tile = min(t_tile, -(-t // 8) * 8)
     t_pad = -(-t // t_tile) * t_tile
+
+    c_pad = -(-c // LANE) * LANE
+    if c_pad != c:  # narrow tail stages (C=96/48/24): pad lanes — still
+        # several× faster than the VPU depthwise-conv composition
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, c_pad - c)))
+        alpha = jnp.pad(alpha, (0, c_pad - c))
+        beta = jnp.pad(beta, (0, c_pad - c), constant_values=1.0)
+        c = c_pad
 
     xp = jnp.pad(
         x.astype(jnp.float32),
@@ -182,7 +190,7 @@ def _fused_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
         jnp.asarray(D_e),
         jnp.asarray(D_o),
     )
-    return out[:, :t, :].astype(x.dtype)
+    return out[:, :t, :c_orig].astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

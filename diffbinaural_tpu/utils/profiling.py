@@ -1,0 +1,66 @@
+"""Profiling / timing utilities — the TPU-idiomatic upgrade of the
+reference's manual timing (SURVEY §5.1: AverageMeter brackets around
+torch.cuda.synchronize, train_realBinaural.py:252-257; GPU memory printouts
+:414-420).  Here: jax.profiler traces viewable in TensorBoard/XProf,
+block_until_ready timing helpers, and device memory stats."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture an XLA profile: ``with trace('/tmp/prof'): step()`` then view
+    in TensorBoard's profile tab."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _sync(out):
+    """Force REAL completion by fetching a scalar per output leaf.
+
+    block_until_ready() is not sufficient on tunneled/remote TPU backends —
+    it can return before remote execution finishes, silently turning a
+    benchmark into a dispatch-latency measurement (observed on axon)."""
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "sum"):
+            float(jnp.sum(leaf))
+
+
+def timed(fn: Callable, *args, warmup: int = 1, iters: int = 10,
+          **kwargs) -> Dict[str, float]:
+    """Wall-clock a jitted function with host-fetch synchronisation —
+    replaces the cuda.synchronize bracketing."""
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"mean_s": dt, "per_sec": 1.0 / dt}
+
+
+def device_memory_stats(device=None) -> Optional[Dict[str, float]]:
+    """HBM usage (the MemoryStabilizer analogue — XLA owns HBM, so this is
+    observability, not management)."""
+    device = device or jax.devices()[0]
+    stats = getattr(device, "memory_stats", lambda: None)()
+    if not stats:
+        return None
+    return {
+        "bytes_in_use_gb": stats.get("bytes_in_use", 0) / 1e9,
+        "peak_bytes_gb": stats.get("peak_bytes_in_use", 0) / 1e9,
+        "bytes_limit_gb": stats.get("bytes_limit", 0) / 1e9,
+    }
