@@ -74,6 +74,7 @@ def main(argv=None):
         pred_mel_right_dir=a.mel_pred_right_val_dir,
         split=True,
         use_pred_mel_schedule=False,
+        always_use_pred=True,  # validation on predicted mels (reference :489-497)
         **common,
     )
     loader_train = DataLoader(ds_train, batch_size=h["batch_size"],

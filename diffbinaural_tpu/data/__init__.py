@@ -3,6 +3,7 @@ from .meldataset import MelDataset, get_dataset_filelist
 from .binaural import BinauralMelSpectrogramDataset, BinauralCombinedDataset
 from .loader import DataLoader
 from .stage1 import (
+    FairPlayPosLeftDataset,
     RealBinauralDataset,
     FairPlayPosDataset,
     FairPlayPosRightDataset,

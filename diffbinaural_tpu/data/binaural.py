@@ -161,6 +161,7 @@ class BinauralCombinedDataset:
         fmax_loss: Optional[float] = None,
         split: bool = True,
         use_pred_mel_schedule: bool = True,
+        always_use_pred: bool = False,
         trim_frames: int = 8,
         seed: int = 1234,
     ):
@@ -169,6 +170,8 @@ class BinauralCombinedDataset:
         self.sampling_rate = sampling_rate
         self.split = split
         self.use_pred_mel_schedule = use_pred_mel_schedule
+        # validation uses predicted mels ONLY (reference :489-497)
+        self.always_use_pred = always_use_pred
         self.trim_frames = trim_frames
         self.current_epoch = 0
         self._rng = random.Random(seed)
@@ -233,9 +236,9 @@ class BinauralCombinedDataset:
         audio = stereo if stereo.ndim == 1 else stereo[min(channel, stereo.shape[0] - 1)]
         # normalisation deliberately DISABLED (:391, :649-650)
 
-        use_pred = (
-            mel_l is not None
-            and (not self.split or self._rng.random() < self.get_pred_mel_probability())
+        use_pred = mel_l is not None and (
+            self.always_use_pred
+            or self._rng.random() < self.get_pred_mel_probability()
         )
 
         if use_pred:

@@ -334,6 +334,13 @@ class FairPlayPosRightDataset(FairPlayPosDataset):
     swap_channels = True
 
 
+class FairPlayPosLeftDataset(FairPlayPosDataset):
+    """``dataset.fairplay_pos_left`` variant (PROJECT_STRUCTURE.md:33):
+    the canonical left-ear-first ordering (== the base dataset)."""
+
+    swap_channels = False
+
+
 class _GenAudioBase(_Stage1Base):
     """Full-clip windowed inference datasets (test_* scripts): every item is
     one 80-frame window with start/total frame metadata

@@ -345,6 +345,31 @@ class AMPBlock2(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def remove_weight_norm(params):
+    """The reference's ``remove_weight_norm()`` analogue
+    (/root/reference/BigVGAN/bigvgan.py:389-401): folds every (v, g) pair so
+    the direction vector IS the effective kernel (v ← v·g/‖v‖, after which
+    the in-module normalisation is the identity).  Returns a new tree;
+    numerically a no-op, useful before export or long inference serving."""
+    import numpy as np
+
+    def fold(node):
+        if isinstance(node, dict) and "v" in node and "g" in node:
+            v = jnp.asarray(node["v"])
+            g = jnp.asarray(node["g"])
+            axes = tuple(range(v.ndim - 1))
+            norm = jnp.sqrt((v**2).sum(axis=axes, keepdims=True))
+            out = dict(node)
+            out["v"] = v * (g.reshape(norm.shape) / jnp.maximum(norm, 1e-12))
+            out["g"] = jnp.abs(g)
+            return out
+        if isinstance(node, dict):
+            return {k: fold(child) for k, child in node.items()}
+        return node
+
+    return fold(params)
+
+
 class BigVGAN(nn.Module):
     """mel (B, num_mels, T) → waveform (B, 1, T·∏rates) (reference :244-387)."""
 

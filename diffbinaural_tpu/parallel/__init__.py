@@ -1,4 +1,5 @@
 from .mesh import (
+    initialize_multihost,
     make_mesh,
     shard_batch,
     replicate,

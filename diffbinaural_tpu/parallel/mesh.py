@@ -85,3 +85,21 @@ def shard_vocoder_params(params: Any, mesh: Mesh) -> Any:
         ),
         params,
     )
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host bring-up: ``jax.distributed.initialize`` + per-host shard
+    coordinates for the DataLoader — the whole replacement for the
+    reference's dist_config rendezvous (tcp://localhost:54321, NCCL,
+    mp.spawn; SURVEY §5.8).  Call once before make_mesh() on pods.
+
+    Returns (num_shards, shard_index) to pass to data.DataLoader.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count(), jax.process_index()

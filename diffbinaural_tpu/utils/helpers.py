@@ -160,6 +160,40 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+class VideoWriter:
+    """Frame-by-frame video writer through an ffmpeg pipe
+    (reference helpers.py:117-193)."""
+
+    def __init__(self, path: str, fps: float = 8.0):
+        if not have_ffmpeg():
+            raise RuntimeError("ffmpeg not available")
+        self.path = path
+        self.fps = fps
+        self._proc = None
+        self._shape = None
+
+    def add_frame(self, frame: np.ndarray):
+        """frame: (H, W, 3) uint8 RGB."""
+        if self._proc is None:
+            h, w = frame.shape[:2]
+            self._shape = (h, w)
+            self._proc = subprocess.Popen(
+                ["ffmpeg", "-y", "-loglevel", "quiet", "-f", "rawvideo",
+                 "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(self.fps),
+                 "-i", "-", "-c:v", "libx264", "-pix_fmt", "yuv420p",
+                 self.path],
+                stdin=subprocess.PIPE,
+            )
+        assert frame.shape[:2] == self._shape
+        self._proc.stdin.write(frame.astype(np.uint8).tobytes())
+
+    def close(self):
+        if self._proc is not None:
+            self._proc.stdin.close()
+            self._proc.wait()
+            self._proc = None
+
+
 def combine_video_audio(src_video: str, src_audio: str, dst_video: str,
                         verbose: bool = False):
     """(reference :196-226)"""

@@ -140,3 +140,22 @@ def test_amp_block_residual_structure():
     y = block.apply(params, x)
     assert y.shape == x.shape
     assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_remove_weight_norm_is_identity():
+    """Folding (v, g) must leave the forward numerically unchanged
+    (reference remove_weight_norm semantics, bigvgan.py:389-401)."""
+    from diffbinaural_tpu.models.bigvgan import remove_weight_norm
+
+    model = BigVGAN(TINY)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 16))
+    params = model.init(jax.random.PRNGKey(1), mel)
+    want = model.apply(params, mel)
+    folded = remove_weight_norm(params)
+    got = model.apply(folded, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
+    # v now IS the kernel: g == ||v||
+    v = np.asarray(folded["params"]["conv_pre"]["v"])
+    g = np.asarray(folded["params"]["conv_pre"]["g"])
+    np.testing.assert_allclose(np.sqrt((v**2).sum(axis=(0, 1))), g, rtol=1e-5)
