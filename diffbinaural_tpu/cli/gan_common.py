@@ -122,8 +122,9 @@ class GanTrainer:
         scratch (reference train_binaural_mel.py:480-537)."""
         d = self.a.checkpoint_path
         os.makedirs(d, exist_ok=True)
-        cp_g = ckpt.scan_checkpoint(d, "g_")
-        cp_do = ckpt.scan_checkpoint(d, "do_")
+        cp_g = ckpt.scan_checkpoint(d, "g_", renamed_file="bigvgan_generator.pt")
+        cp_do = ckpt.scan_checkpoint(d, "do_",
+                                     renamed_file="bigvgan_discriminator_optimizer.pt")
         if cp_g and cp_do:
             g = ckpt.load_checkpoint(cp_g, {"generator": self.state.gen_params})
             do = ckpt.load_checkpoint(cp_do)

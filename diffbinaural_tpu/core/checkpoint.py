@@ -60,13 +60,20 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     return serialization.msgpack_restore(data)
 
 
-def scan_checkpoint(cp_dir: str, prefix: str) -> Optional[str]:
-    """Latest checkpoint matching prefix (reference utils.py:97-114)."""
+def scan_checkpoint(cp_dir: str, prefix: str,
+                    renamed_file: Optional[str] = None) -> Optional[str]:
+    """Latest checkpoint matching prefix, with the HF-renamed-file fallback
+    (reference utils.py:97-114: e.g. ``bigvgan_generator.pt`` /
+    ``bigvgan_discriminator_optimizer.pt``)."""
     pattern = os.path.join(cp_dir, prefix + "*")
     cps = [p for p in glob.glob(pattern) if not p.endswith(".tmp")]
-    if not cps:
-        return None
-    return sorted(cps)[-1]
+    if cps:
+        return sorted(cps)[-1]
+    if renamed_file:
+        renamed = os.path.join(cp_dir, renamed_file)
+        if os.path.isfile(renamed):
+            return renamed
+    return None
 
 
 def save_history(path: str, history: Dict):
