@@ -61,6 +61,7 @@ def make_stage2_train_step(
     use_multiscale_melloss: bool = True,
     silence_threshold_db: float = -50.0,
     donate: bool = True,
+    remat: bool = True,
 ):
     """Returns (init_fn, step_fn).
 
@@ -74,6 +75,15 @@ def make_stage2_train_step(
         generator_loss,
         simple_silence_aware_mel_loss,
     )
+
+    if remat:
+        # trade FLOPs for HBM: the 256×-upsampled activations of the
+        # generator + two discriminator towers exceed a 16 GB chip at the
+        # production batch — rematerialisation recovers the reference's
+        # global batch on one chip
+        gen_apply = jax.checkpoint(gen_apply)
+        mpd_apply = jax.checkpoint(mpd_apply)
+        mrd_apply = jax.checkpoint(mrd_apply)
 
     tx_g = optax.chain(
         optax.clip_by_global_norm(clip_grad_norm),
@@ -156,9 +166,7 @@ def make_stage2_train_step(
         # keep optimizer moments untouched during the freeze, like torch
         # (optim_d.step() simply not called, :1053-1058)
         disc_opt = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(frozen, old, new)
-            if isinstance(new, jnp.ndarray) and new.shape == old.shape
-            else new,
+            lambda new, old: jnp.where(frozen, old, new),
             disc_opt,
             state.disc_opt,
         )
