@@ -193,11 +193,44 @@ def _fused_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
     return out[:, :t, :c_orig].astype(x.dtype)
 
 
+def _packed_forward(x, alpha, beta, logscale: bool, t_tile: int = 512):
+    """Narrow-channel path: pack S contiguous time-slabs into the lane dim
+    so a C=24 stage occupies 120 of 128 lanes instead of 24.
+
+    Each slab carries an H-row true halo from its neighbours; the kernel's
+    own edge-replication only corrupts rows inside the discarded margin
+    (z[t] touches x[t−5..t+5], margin is H=8)."""
+    b, t, c = x.shape
+    s = max(1, LANE // c)
+    if s == 1:
+        return _fused_forward(x, alpha, beta, logscale, t_tile)
+
+    ts = -(-t // s)
+    ts = -(-ts // 8) * 8
+    t_tot = s * ts
+    xp = jnp.pad(
+        x, ((0, 0), (HALO, HALO + (t_tot - t)), (0, 0)), mode="edge"
+    )  # (B, t_tot + 2H, C)
+    idx = np.arange(ts + 2 * HALO)[None, :] + ts * np.arange(s)[:, None]
+    slabs = xp[:, idx, :]                      # (B, S, ts+2H, C)
+    slabs = slabs.transpose(0, 2, 1, 3).reshape(b, ts + 2 * HALO, s * c)
+
+    out = _fused_forward(
+        slabs, jnp.tile(alpha, s), jnp.tile(beta, s), logscale, t_tile
+    )                                          # (B, ts+2H, S·C)
+    out = out.reshape(b, ts + 2 * HALO, s, c).transpose(0, 2, 1, 3)
+    out = out[:, :, HALO : HALO + ts, :].reshape(b, t_tot, c)
+    return out[:, :t, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_alias_free_snake(x, alpha, beta, logscale: bool = True):
-    """Fused up-FIR → snakeβ → down-FIR on (B, T, C); C % 128 == 0.
+    """Fused up-FIR → snakeβ → down-FIR on (B, T, C).
 
-    alpha/beta: (C,) raw parameters (log-space when ``logscale``)."""
+    alpha/beta: (C,) raw parameters (log-space when ``logscale``).
+    C < 128 runs the slab-packed variant (time tiles share the lane dim)."""
+    if x.shape[-1] < LANE:
+        return _packed_forward(x, alpha, beta, logscale)
     return _fused_forward(x, alpha, beta, logscale)
 
 

@@ -111,9 +111,15 @@ def stft_magnitude(
     """|STFT| with reference padding semantics.  y: (..., T) → (..., F, frames).
 
     pad=True applies the reflect pad of (n_fft-hop)/2 on both ends and then a
-    center=False STFT (reference: meldataset.py:98-117).
+    center=False STFT (reference: meldataset.py:98-117).  Windows shorter
+    than n_fft are centre-padded to n_fft (torch.stft semantics — the MRD
+    uses (1024, 120, 600)-style resolutions).
     """
-    window = jnp.asarray(hann_window(win_size))
+    win_np = hann_window(win_size)
+    if win_size < n_fft:
+        lpad = (n_fft - win_size) // 2
+        win_np = np.pad(win_np, (lpad, n_fft - win_size - lpad))
+    window = jnp.asarray(win_np)
     if pad:
         padding = (n_fft - hop_size) // 2
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(padding, padding)], mode="reflect")

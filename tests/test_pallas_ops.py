@@ -83,3 +83,19 @@ def test_fused_gradients_match_xla():
         # interior equality of the primal keeps the grads within tolerance
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
                                    atol=2e-2)
+
+
+@pytest.mark.parametrize("c,t", [(24, 700), (48, 300), (96, 128)])
+def test_packed_narrow_channels_match_xla(c, t):
+    """Slab-packed path (C < 128) must match the XLA composition except at
+    clip edges."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+    want = np.asarray(_xla_reference(x, alpha, beta))
+    got = np.asarray(fused_alias_free_snake(x, alpha, beta, True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        got[:, EDGE:-EDGE], want[:, EDGE:-EDGE], rtol=1e-5, atol=1e-5
+    )

@@ -97,3 +97,28 @@ def test_mel_spectrogram_range_and_shape():
     # silence maps to the floor
     mel_sil = np.asarray(mel_spectrogram(jnp.zeros((1, 22050))))
     np.testing.assert_allclose(mel_sil, np.log(1e-5), atol=1e-5)
+
+
+def test_stft_magnitude_short_window_matches_torch():
+    """win < n_fft must centre-pad the window like torch.stft — the MRD
+    resolutions (1024, 120, 600) rely on it (discriminators.py:225-244)."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(4000).astype(np.float32)
+    n_fft, hop, win = 1024, 120, 600
+    ours = np.asarray(
+        stft_magnitude(jnp.asarray(y)[None], n_fft, hop, win, pad=True,
+                       eps=0.0)
+    )[0]
+    pad = (n_fft - hop) // 2
+    yt = torch.nn.functional.pad(
+        torch.from_numpy(y)[None, None], (pad, pad), mode="reflect"
+    )[0]
+    spec = torch.stft(
+        yt, n_fft, hop_length=hop, win_length=win,
+        window=torch.hann_window(win), center=False, return_complex=True,
+    )
+    want = spec.abs().numpy()[0]
+    assert ours.shape == want.shape
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
