@@ -65,12 +65,14 @@ def build_discriminators(h: AttrDict):
 
 
 class GanTrainer:
-    def __init__(self, a, h: AttrDict):
+    def __init__(self, a, h: AttrDict, compute_dtype=jnp.bfloat16):
         self.a = a
         self.h = h
         self.mesh = make_mesh()
         self.cfg = VocoderConfig.from_attrdict(h)
-        self.gen = BigVGAN(self.cfg)
+        # bf16 matmul policy (params fp32): the TPU-idiomatic mixed
+        # precision — losses/normalisation stats stay fp32 in the modules
+        self.gen = BigVGAN(self.cfg, dtype=compute_dtype)
         self.mpd, self.mrd = build_discriminators(h)
         self.msl = MultiScaleMelSpectrogramLoss(h["sampling_rate"])
         self.writer = SummaryLogger(os.path.join(a.checkpoint_path, "logs"))
@@ -98,6 +100,10 @@ class GanTrainer:
             freeze_step=getattr(a, "freeze_step", 0),
             use_multiscale_melloss=h.get("use_multiscale_melloss", False),
             silence_threshold_db=h.get("silence_threshold_db", -50.0),
+            # remat costs ~27% step time; only needed when the activation
+            # footprint exceeds one chip (measured: B=16·seg16384 fits,
+            # B=32 needs it)
+            remat=h["batch_size"] * h["segment_size"] > 16 * 16384,
         )
         self.state = None
         self.steps = 0

@@ -61,7 +61,7 @@ def make_stage2_train_step(
     use_multiscale_melloss: bool = True,
     silence_threshold_db: float = -50.0,
     donate: bool = True,
-    remat: bool = True,
+    remat: bool = False,
 ):
     """Returns (init_fn, step_fn).
 

@@ -78,11 +78,17 @@ def test_fused_gradients_match_xla():
 
     gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, alpha, beta)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, alpha, beta)
-    for a, b in zip(gf, gx):
-        # the VJP is the XLA composition's vjp against the fused primal —
-        # interior equality of the primal keeps the grads within tolerance
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
-                                   atol=2e-2)
+    # dx: the fused backward kernel is EXACT in the interior; only the
+    # dropped clip-edge replication adjoint (outer ≤8 samples) differs
+    np.testing.assert_allclose(
+        np.asarray(gf[0])[:, 8:-8], np.asarray(gx[0])[:, 8:-8],
+        rtol=1e-4, atol=1e-4,
+    )
+    # dα/dβ: per-channel reductions pick up the same edge-only difference
+    for a, b in zip(gf[1:], gx[1:]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
 
 
 @pytest.mark.parametrize("c,t", [(24, 700), (48, 300), (96, 128)])
@@ -99,3 +105,25 @@ def test_packed_narrow_channels_match_xla(c, t):
     np.testing.assert_allclose(
         got[:, EDGE:-EDGE], want[:, EDGE:-EDGE], rtol=1e-5, atol=1e-5
     )
+
+
+def test_packed_gradients_match_xla():
+    """Narrow-channel (slab-packed) backward must match the XLA grads in the
+    interior too."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 200, 24)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(24).astype(np.float32) * 0.1)
+    beta = jnp.zeros(24)
+
+    gf = jax.grad(lambda *a: jnp.sum(fused_alias_free_snake(*a, True) ** 2),
+                  argnums=(0, 1, 2))(x, alpha, beta)
+    gx = jax.grad(lambda *a: jnp.sum(_xla_reference(*a) ** 2),
+                  argnums=(0, 1, 2))(x, alpha, beta)
+    np.testing.assert_allclose(
+        np.asarray(gf[0])[:, 8:-8], np.asarray(gx[0])[:, 8:-8],
+        rtol=1e-4, atol=1e-4,
+    )
+    for a, b in zip(gf[1:], gx[1:]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
