@@ -105,7 +105,12 @@ def _sdpa(q, k, v, scale: float):
         # big-block grids amortise per-program overhead: pad long sequences
         # up to a 512 multiple (6400 → 6656, 4% waste) so blk=512 applies —
         # 50×50 grids of (128×32)·(32×128) micro-matmuls are launch-bound
-        n_pad = -(-n // 512) * 512 if n >= 1024 else -(-n // 128) * 128
+        if n >= 4096:
+            n_pad = -(-n // 1024) * 1024
+        elif n >= 1024:
+            n_pad = -(-n // 512) * 512
+        else:
+            n_pad = -(-n // 128) * 128
         # bf16 q/k/v pass straight through (the kernel accumulates fp32);
         # other dtypes upcast for stability
         dt = v.dtype if v.dtype == jnp.bfloat16 else jnp.float32
@@ -122,7 +127,8 @@ def _sdpa(q, k, v, scale: float):
             ids = jnp.broadcast_to(ids, (q.shape[0], n_pad))
             segment_ids = SegmentIds(q=ids, kv=ids)
 
-        blk = 512 if n_pad % 512 == 0 else 128
+        blk = 1024 if n_pad % 1024 == 0 and n >= 4096 else (
+            512 if n_pad % 512 == 0 else 128)
         bs = BlockSizes(
             block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
             block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
