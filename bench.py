@@ -27,7 +27,7 @@ HOP = 256
 WINDOW = 80
 STRIDE = 40
 DDIM_STEPS = 25
-UNET_BATCH = 8  # windows per UNet micro-batch (batch 24 measured slower)
+UNET_BATCH = 8  # 3 pipelined batch-8 calls measured fastest end-to-end
 BASELINE_CLIPS_PER_SEC = 0.42
 
 
