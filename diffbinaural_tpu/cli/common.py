@@ -77,16 +77,21 @@ class Stage1Trainer:
         self.args = args
         self.mel_key = mel_key
         builder = ModelBuilder()
+        clip_config = getattr(args, "clip_config", None)  # tests shrink it
         self.net_frame = builder.build_visual(
-            pool_type=args.img_pool, arch_frame=args.arch_frame
+            pool_type=args.img_pool, arch_frame=args.arch_frame,
+            clip_config=clip_config,
         )
-        self.net_unet = builder.build_unet()
+        self.net_unet = builder.build_unet(
+            dim=getattr(args, "unet_dim", 64)  # hidden test knob
+        )
         self.diffusion = GaussianDiffusion(
             image_size=80, timesteps=1000, sampling_timesteps=25,
             loss_type=args.loss, objective="pred_noise",
             beta_schedule="cosine", auto_normalize=False,
         )
         self.visual_apply = visual_apply_fn(self.net_frame, args.arch_frame)
+        self._visual_jit = jax.jit(self.visual_apply)  # eval-path features
         self.unet_apply = lambda p, x, t, c: self.net_unet.apply(p, x, t, c)
 
         self.mesh = make_mesh()
@@ -221,7 +226,7 @@ class Stage1Trainer:
     def _features(self, batch) -> jnp.ndarray:
         pos = (batch["pos_data"] if self.args.arch_frame == "clip_pos"
                else batch["2d_pos_data"])
-        return self.visual_apply(
+        return self._visual_jit(
             self.state.params["frame"], jnp.asarray(batch["frames"]),
             jnp.asarray(pos), jnp.asarray(batch["mask"]),
         )

@@ -49,10 +49,18 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put every array with its leading axis split over 'data'."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
-    )
+    """Device-put every array with its leading axis split over 'data'.
+
+    Leaves whose leading axis does not divide the data-axis size (tiny val
+    batches, scalars) are replicated instead."""
+    n_data = mesh.shape["data"]
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n_data == 0:
+            return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, replicate(mesh))
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def _vocoder_spec(leaf, model_size: int) -> P:
