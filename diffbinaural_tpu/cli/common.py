@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +27,7 @@ import numpy as np
 
 from ..core import checkpoint as ckpt
 from ..diffusion import GaussianDiffusion
-from ..infer.stage1 import (
-    Stage1Sampler,
-    denormalize_mel,
-    generate_clip,
-    normalize_mel,
-)
+from ..infer.stage1 import Stage1Sampler, generate_clip
 from ..models import AudioVisualModel
 from ..models.visual import build_visual
 from ..parallel import make_mesh, shard_batch

@@ -10,7 +10,7 @@ package, SURVEY §2.2), but datasets here use it to build ``2d_pos_data``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ the train-time augmentations a FairPlay-style loader uses.
 from __future__ import annotations
 
 import random
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

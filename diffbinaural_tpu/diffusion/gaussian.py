@@ -23,7 +23,7 @@ numpy DiffusionSchedule and embed as jit constants.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

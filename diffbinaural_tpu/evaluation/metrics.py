@@ -22,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
 from scipy.signal import hilbert
-from scipy.linalg import solve_toeplitz
 
 from ..signal.stft import hann_window, mel_filterbank
 

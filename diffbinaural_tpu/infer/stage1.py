@@ -18,7 +18,6 @@ scatter-add expressed with a static index map.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -15,7 +15,7 @@ Dynamic clip lengths are bucketed (padded up to a multiple of
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

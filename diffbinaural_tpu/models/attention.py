@@ -31,7 +31,6 @@ TPU keeps the MXU busy, softmax/normalisation stats stay fp32).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

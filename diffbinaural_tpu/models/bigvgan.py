@@ -26,7 +26,6 @@ initial kernel equals v, matching torch.nn.utils.weight_norm semantics.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax
@@ -351,8 +350,6 @@ def remove_weight_norm(params):
     the direction vector IS the effective kernel (v ← v·g/‖v‖, after which
     the in-module normalisation is the identity).  Returns a new tree;
     numerically a no-op, useful before export or long inference serving."""
-    import numpy as np
-
     def fold(node):
         if isinstance(node, dict) and "v" in node and "g" in node:
             v = jnp.asarray(node["v"])

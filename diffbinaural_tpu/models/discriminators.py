@@ -20,15 +20,14 @@ Weight norm matches torch (per-output-channel over the remaining axes).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import flax.linen as nn
 
 from ..signal.cqt import cqt
-from ..signal.stft import stft_complex, stft_magnitude, hann_window
+from ..signal.stft import stft_complex, stft_magnitude
 from .bigvgan import upsample2_nhc
 
 

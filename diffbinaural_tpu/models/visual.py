@@ -34,7 +34,6 @@ Masks follow the reference convention: True = INVALID/padded source.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Filters are designed once in numpy float64 and closed over as constants.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ gate is a ``jnp.where`` on the update trees (no recompile at the boundary).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ a no-op fallback if unavailable.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
