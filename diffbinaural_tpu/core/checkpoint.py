@@ -15,7 +15,11 @@ Capability parity with the reference checkpoint layer (SURVEY §5.4):
     ViT-B/32 tower, so reference ``.pth`` checkpoints load directly.
 
 Storage format: flax msgpack (`flax.serialization`) — single files, so the
-reference's glob patterns work unchanged.
+reference's glob patterns work unchanged.  An Orbax backend is available as
+an alternative (``backend="orbax"`` — directory checkpoints with async-safe
+atomic finalisation, the idiomatic large-scale JAX path); ``load_checkpoint``
+and ``scan_checkpoint`` handle both transparently (Orbax checkpoints are
+directories, msgpack ones are files).
 """
 
 from __future__ import annotations
@@ -34,9 +38,19 @@ from flax import serialization
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(path: str, pytree: Any):
-    """Atomic tmp+rename write (reference training_stabilizer.py:250-259)."""
+def save_checkpoint(path: str, pytree: Any, backend: str = "msgpack"):
+    """Atomic checkpoint write (reference training_stabilizer.py:250-259).
+
+    ``backend="msgpack"`` (default): single flax-msgpack file, tmp+rename.
+    ``backend="orbax"``: Orbax PyTree checkpoint directory at ``path`` —
+    sharded-array-aware and multi-host-safe; Orbax finalises atomically.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if backend == "orbax":
+        _orbax_save(path, pytree)
+        return
+    if backend != "msgpack":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     data = serialization.to_bytes(
         __np(pytree)
     )
@@ -46,6 +60,33 @@ def save_checkpoint(path: str, pytree: Any):
     os.replace(tmp, path)
 
 
+def _orbax_save(path: str, pytree: Any):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)  # same overwrite semantics as the msgpack file
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, __np(pytree))
+
+
+def _orbax_load(path: str, target: Optional[Any] = None) -> Any:
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    if target is not None:
+        # conform to the target's structure (lists/tuples/dataclass leaves),
+        # mirroring flax.serialization.from_bytes(target, ...)
+        flat = jax.tree_util.tree_leaves(restored)
+        treedef = jax.tree_util.tree_structure(target)
+        return jax.tree_util.tree_unflatten(treedef, flat)
+    return restored
+
+
 def __np(tree):
     import jax
 
@@ -53,6 +94,8 @@ def __np(tree):
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    if os.path.isdir(path):  # Orbax checkpoints are directories
+        return _orbax_load(path, target)
     with open(path, "rb") as f:
         data = f.read()
     if target is not None:
@@ -219,6 +262,73 @@ def import_torch_clip_vision(path_or_sd) -> Dict:
             ),
         }
     return {"params": params}
+
+
+def import_torch_clip_text(path_or_sd) -> Dict:
+    """OpenAI CLIP text-tower weights → CLIPTextTransformer params.
+
+    Accepts the full CLIP state dict (token_embedding / positional_embedding
+    / transformer.resblocks.* / ln_final / text_projection keys)."""
+    sd = _load_torch_state_dict(path_or_sd)
+    g = lambda k: sd[k].astype(np.float32)
+
+    def dense(w, b=None):
+        out = {"kernel": w.T.astype(np.float32)}
+        if b is not None:
+            out["bias"] = b.astype(np.float32)
+        return out
+
+    def ln(k):
+        return {"scale": g(f"{k}.weight"), "bias": g(f"{k}.bias")}
+
+    params: Dict[str, Any] = {
+        "token_embedding": g("token_embedding.weight"),
+        "positional_embedding": g("positional_embedding"),
+        "ln_final": ln("ln_final"),
+        "text_projection": g("text_projection"),
+    }
+    n_layers = max(
+        int(k.split(".")[2]) for k in sd
+        if k.startswith("transformer.resblocks.")
+    ) + 1
+    for i in range(n_layers):
+        b = f"transformer.resblocks.{i}"
+        in_w = g(f"{b}.attn.in_proj_weight")
+        in_b = g(f"{b}.attn.in_proj_bias")
+        d = in_w.shape[0] // 3
+        params[f"resblock_{i}"] = {
+            "ln_1": ln(f"{b}.ln_1"),
+            "ln_2": ln(f"{b}.ln_2"),
+            "attn": {
+                "q_proj": dense(in_w[:d], in_b[:d]),
+                "k_proj": dense(in_w[d : 2 * d], in_b[d : 2 * d]),
+                "v_proj": dense(in_w[2 * d :], in_b[2 * d :]),
+                "out_proj": dense(
+                    g(f"{b}.attn.out_proj.weight"), g(f"{b}.attn.out_proj.bias")
+                ),
+            },
+            "mlp_c_fc": dense(g(f"{b}.mlp.c_fc.weight"), g(f"{b}.mlp.c_fc.bias")),
+            "mlp_c_proj": dense(
+                g(f"{b}.mlp.c_proj.weight"), g(f"{b}.mlp.c_proj.bias")
+            ),
+        }
+    return {"params": params}
+
+
+def import_torch_clip(path_or_sd) -> Dict:
+    """Full OpenAI CLIP checkpoint → CLIPModel params (both towers +
+    logit_scale) — the ``clip.load()`` surface the reference encoders hold."""
+    sd = _load_torch_state_dict(path_or_sd)
+    vision = import_torch_clip_vision(sd)["params"]
+    text_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+    text = import_torch_clip_text(text_sd)["params"]
+    return {
+        "params": {
+            "visual": vision,
+            "text": text,
+            "logit_scale": sd["logit_scale"].astype(np.float32),
+        }
+    }
 
 
 def save_pretrained(save_directory: str, params: Dict, config) -> None:

@@ -135,3 +135,16 @@ class CLIPConfig:
     layers: int = 12
     heads: int = 12
     output_dim: int = 512
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    """ViT-B/32 text tower (the reference encoders' ``forward_text`` path,
+    DiffBinaural/modules/networks.py:108-109 etc. → clip ``encode_text``)."""
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    output_dim: int = 512

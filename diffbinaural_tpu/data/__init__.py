@@ -12,3 +12,4 @@ from .stage1 import (
     GenAudioPosDataset,
 )
 from . import position_utils
+from .clip_tokenizer import SimpleTokenizer

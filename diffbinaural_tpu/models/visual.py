@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from ..core.config import CLIPConfig
+from ..core.config import CLIPConfig, CLIPTextConfig
 from .unet import SinusoidalPosEmb
 
 
@@ -59,7 +59,8 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, key_padding_mask=None, deterministic=True):
+    def __call__(self, q, k, v, key_padding_mask=None, deterministic=True,
+                 attn_mask=None):
         d = self.dim // self.num_heads
         proj = lambda name: nn.Dense(self.dim, dtype=self.dtype, name=name)
         qh, kh, vh = proj("q_proj")(q), proj("k_proj")(k), proj("v_proj")(v)
@@ -73,6 +74,10 @@ class MultiHeadAttention(nn.Module):
             "bhid,bhjd->bhij", qh * (d**-0.5), kh,
             preferred_element_type=jnp.float32,
         )
+        if attn_mask is not None:
+            # additive (N_q, N_k) float mask, torch MultiheadAttention-style
+            # (the CLIP text tower's causal mask)
+            sim = sim + attn_mask[None, None].astype(sim.dtype)
         if key_padding_mask is not None:
             # True = PAD → -inf; rows with ALL keys padded would softmax to
             # NaN — give them uniform weights instead (callers override the
@@ -169,11 +174,11 @@ class CLIPResidualBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, attn_mask=None):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         h = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, name="attn"
-        )(h, h, h)
+        )(h, h, h, attn_mask=attn_mask)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_c_fc")(h)
@@ -234,6 +239,90 @@ class CLIPVisionTransformer(nn.Module):
             (c.width, c.output_dim),
         )
         return x @ proj.astype(self.dtype)
+
+
+class CLIPTextTransformer(nn.Module):
+    """CLIP ``encode_text``: BPE token ids (B, 77) → (B, 512).
+
+    The reference encoders each expose ``forward_text`` delegating to the
+    CLIP model's text tower (DiffBinaural/modules/networks.py:108-109,
+    :164-165, :230-231, :385-386, :614-615, :766-768) — unused by the
+    shipped training scripts but part of the encoder API surface.  Causally
+    masked transformer; the feature is read at each sequence's
+    end-of-text token (the argmax of the token ids, EOT being the largest
+    id) and projected to the shared embedding space.
+    """
+
+    config: CLIPTextConfig = CLIPTextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        c = self.config
+        tok_emb = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (c.vocab_size, c.width),
+        )
+        pos_emb = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (c.context_length, c.width),
+        )
+        n = tokens.shape[1]
+        x = tok_emb[tokens].astype(self.dtype) + pos_emb[:n].astype(self.dtype)
+        causal = jnp.triu(
+            jnp.full((n, n), jnp.finfo(jnp.float32).min, jnp.float32), k=1
+        )
+        for i in range(c.layers):
+            x = CLIPResidualBlock(
+                c.width, c.heads, dtype=self.dtype, name=f"resblock_{i}"
+            )(x, attn_mask=causal)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
+        eot = jnp.argmax(tokens, axis=-1)  # EOT has the largest token id
+        x = x[jnp.arange(x.shape[0]), eot]
+        proj = self.param(
+            "text_projection",
+            nn.initializers.normal(c.width**-0.5),
+            (c.width, c.output_dim),
+        )
+        return x @ proj.astype(self.dtype)
+
+
+class CLIPModel(nn.Module):
+    """Both CLIP towers under one param tree — the ``clip.load()`` surface
+    the reference encoders hold (encode_image / encode_text / similarity
+    logits).  setup()-based so every method works through ``apply``."""
+
+    vision: CLIPConfig = CLIPConfig()
+    text: CLIPTextConfig = CLIPTextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.visual = CLIPVisionTransformer(
+            self.vision, dtype=self.dtype, name="visual"
+        )
+        self.transformer = CLIPTextTransformer(
+            self.text, dtype=self.dtype, name="text"
+        )
+        self.logit_scale = self.param(
+            "logit_scale", lambda _key: jnp.asarray(np.log(1.0 / 0.07), jnp.float32)
+        )
+
+    def encode_image(self, images):
+        return self.visual(images)
+
+    def encode_text(self, tokens):
+        return self.transformer(tokens)
+
+    def __call__(self, images, tokens):
+        """→ (logits_per_image, logits_per_text), L2-normalised + scaled."""
+        im = self.encode_image(images)
+        tx = self.encode_text(tokens)
+        im = im / jnp.linalg.norm(im, axis=-1, keepdims=True)
+        tx = tx / jnp.linalg.norm(tx, axis=-1, keepdims=True)
+        logits = jnp.exp(self.logit_scale) * im @ tx.T
+        return logits, logits.T
 
 
 # ---------------------------------------------------------------------------
@@ -356,8 +445,10 @@ class ClipEncoder(nn.Module):
         )(feats, deterministic=deterministic)
         return feats.mean(axis=1)
 
-    def encode_image(self, x):
-        return CLIPVisionTransformer(self.clip, dtype=self.dtype, name="clip")(x)
+    # NOTE: the reference ClipEncoder also exposes forward_text /
+    # encode_image on the underlying CLIP model (networks.py:160-183);
+    # standalone tower access lives in CLIPModel (encode_image/encode_text)
+    # — an inline submodule in a plain method would be invalid flax.
 
 
 class _PosAttnStack(nn.Module):

@@ -138,3 +138,41 @@ def test_clip_vision_import_shapes():
     out = model.apply(params, jnp.zeros((2, 3, 32, 32)))
     assert out.shape == (2, 512)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """backend="orbax" writes a directory; load_checkpoint auto-detects it
+    and conforms to a target structure like the msgpack path does."""
+    from diffbinaural_tpu.core import checkpoint as ckpt
+
+    tree = {
+        "w": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "nested": {"b": np.float32(2.5), "ints": np.arange(4)},
+    }
+    path = str(tmp_path / "g_00000001")
+    ckpt.save_checkpoint(path, tree, backend="orbax")
+    assert os.path.isdir(path)
+
+    restored = ckpt.load_checkpoint(path)
+    np.testing.assert_array_equal(restored["w"], tree["w"])
+    np.testing.assert_array_equal(restored["nested"]["ints"], tree["nested"]["ints"])
+
+    # target-conforming restore + scan_checkpoint finds the directory
+    target = {"w": np.zeros((2, 3), np.float32),
+              "nested": {"b": np.float32(0), "ints": np.zeros(4, np.int64)}}
+    conformed = ckpt.load_checkpoint(path, target)
+    np.testing.assert_array_equal(conformed["w"], tree["w"])
+    assert ckpt.scan_checkpoint(str(tmp_path), "g_") == path
+
+    # overwrite with new values (same path) must not raise
+    tree["w"] = tree["w"] + 1
+    ckpt.save_checkpoint(path, tree, backend="orbax")
+    np.testing.assert_array_equal(ckpt.load_checkpoint(path)["w"], tree["w"])
+
+
+def test_unknown_backend_raises(tmp_path):
+    from diffbinaural_tpu.core import checkpoint as ckpt
+
+    with pytest.raises(ValueError):
+        ckpt.save_checkpoint(str(tmp_path / "x"), {"a": np.zeros(1)},
+                             backend="hdf5")

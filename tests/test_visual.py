@@ -126,3 +126,145 @@ def test_registry_covers_reference_archs():
         assert build_visual(arch) is not None
     with pytest.raises(ValueError):
         build_visual("nope")
+
+
+# ---------------------------------------------------------------------------
+# CLIP text tower (the reference encoders' forward_text path)
+# ---------------------------------------------------------------------------
+
+from diffbinaural_tpu.core.config import CLIPTextConfig
+from diffbinaural_tpu.models.visual import CLIPModel, CLIPTextTransformer
+
+TINY_TEXT = CLIPTextConfig(
+    vocab_size=64, context_length=16, width=32, layers=2, heads=2,
+    output_dim=512,
+)
+
+
+def _tokens(rows):
+    t = np.zeros((len(rows), TINY_TEXT.context_length), np.int32)
+    for i, row in enumerate(rows):
+        t[i, : len(row)] = row
+    return jnp.asarray(t)
+
+
+def test_clip_text_shape_and_eot_readout():
+    model = CLIPTextTransformer(TINY_TEXT)
+    toks = _tokens([[5, 7, 9, 63], [5, 63]])  # 63 = largest id = EOT
+    params = model.init(jax.random.PRNGKey(0), toks)
+    out = model.apply(params, toks)
+    assert out.shape == (2, 512)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_clip_text_causal_mask():
+    """Tokens after the EOT position must not influence the feature (causal
+    mask + EOT-argmax readout)."""
+    model = CLIPTextTransformer(TINY_TEXT)
+    a = _tokens([[5, 7, 63, 0, 0, 0]])
+    b = _tokens([[5, 7, 63, 11, 2, 4]])  # junk strictly after EOT
+    params = model.init(jax.random.PRNGKey(0), a)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(params, a)),
+        np.asarray(model.apply(params, b)),
+        atol=1e-6,
+    )
+    c = _tokens([[5, 8, 63, 0, 0, 0]])  # change BEFORE EOT → must differ
+    assert np.abs(
+        np.asarray(model.apply(params, a)) - np.asarray(model.apply(params, c))
+    ).max() > 1e-4
+
+
+def test_clip_model_both_towers():
+    model = CLIPModel(vision=TINY_CLIP, text=TINY_TEXT)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32, 32))
+    toks = _tokens([[5, 63], [9, 12, 63]])
+    params = model.init(jax.random.PRNGKey(1), imgs, toks)
+    li, lt = model.apply(params, imgs, toks)
+    assert li.shape == (2, 2) and lt.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, atol=1e-5)
+    im = model.apply(params, imgs, method=CLIPModel.encode_image)
+    tx = model.apply(params, toks, method=CLIPModel.encode_text)
+    assert im.shape == (2, 512) and tx.shape == (2, 512)
+
+
+def test_clip_text_torch_import_matches_torch():
+    """Import a synthetic torch-layout text tower and match a torch oracle
+    built on torch.nn.MultiheadAttention (independent attention impl)."""
+    import torch
+
+    from diffbinaural_tpu.core.checkpoint import import_torch_clip_text
+
+    c = TINY_TEXT
+    rng = np.random.default_rng(0)
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.05
+    sd = {
+        "token_embedding.weight": r(c.vocab_size, c.width),
+        "positional_embedding": r(c.context_length, c.width),
+        "ln_final.weight": 1 + r(c.width),
+        "ln_final.bias": r(c.width),
+        "text_projection": r(c.width, c.output_dim),
+    }
+    for i in range(c.layers):
+        b = f"transformer.resblocks.{i}"
+        sd.update({
+            f"{b}.attn.in_proj_weight": r(3 * c.width, c.width),
+            f"{b}.attn.in_proj_bias": r(3 * c.width),
+            f"{b}.attn.out_proj.weight": r(c.width, c.width),
+            f"{b}.attn.out_proj.bias": r(c.width),
+            f"{b}.ln_1.weight": 1 + r(c.width),
+            f"{b}.ln_1.bias": r(c.width),
+            f"{b}.ln_2.weight": 1 + r(c.width),
+            f"{b}.ln_2.bias": r(c.width),
+            f"{b}.mlp.c_fc.weight": r(4 * c.width, c.width),
+            f"{b}.mlp.c_fc.bias": r(4 * c.width),
+            f"{b}.mlp.c_proj.weight": r(c.width, 4 * c.width),
+            f"{b}.mlp.c_proj.bias": r(c.width),
+        })
+
+    toks_np = np.zeros((2, c.context_length), np.int64)
+    toks_np[0, :4] = [5, 7, 9, 63]
+    toks_np[1, :2] = [5, 63]
+
+    # --- torch oracle ---------------------------------------------------
+    with torch.no_grad():
+        t = torch.from_numpy
+        x = t(sd["token_embedding.weight"])[t(toks_np)] + t(
+            sd["positional_embedding"]
+        )
+        n = x.shape[1]
+        causal = torch.full((n, n), float("-inf")).triu(1)
+        x = x.transpose(0, 1)  # (L, B, D)
+        for i in range(c.layers):
+            b = f"transformer.resblocks.{i}"
+            mha = torch.nn.MultiheadAttention(c.width, c.heads)
+            mha.in_proj_weight.copy_(t(sd[f"{b}.attn.in_proj_weight"]))
+            mha.in_proj_bias.copy_(t(sd[f"{b}.attn.in_proj_bias"]))
+            mha.out_proj.weight.copy_(t(sd[f"{b}.attn.out_proj.weight"]))
+            mha.out_proj.bias.copy_(t(sd[f"{b}.attn.out_proj.bias"]))
+            h = torch.nn.functional.layer_norm(
+                x, (c.width,), t(sd[f"{b}.ln_1.weight"]), t(sd[f"{b}.ln_1.bias"])
+            )
+            x = x + mha(h, h, h, attn_mask=causal, need_weights=False)[0]
+            h = torch.nn.functional.layer_norm(
+                x, (c.width,), t(sd[f"{b}.ln_2.weight"]), t(sd[f"{b}.ln_2.bias"])
+            )
+            h = h @ t(sd[f"{b}.mlp.c_fc.weight"]).T + t(sd[f"{b}.mlp.c_fc.bias"])
+            h = h * torch.sigmoid(1.702 * h)  # QuickGELU
+            h = h @ t(sd[f"{b}.mlp.c_proj.weight"]).T + t(
+                sd[f"{b}.mlp.c_proj.bias"]
+            )
+            x = x + h
+        x = x.transpose(0, 1)
+        x = torch.nn.functional.layer_norm(
+            x, (c.width,), t(sd["ln_final.weight"]), t(sd["ln_final.bias"])
+        )
+        eot = t(toks_np).argmax(dim=-1)
+        expected = (
+            x[torch.arange(2), eot] @ t(sd["text_projection"])
+        ).numpy()
+
+    params = import_torch_clip_text(sd)
+    model = CLIPTextTransformer(TINY_TEXT)
+    got = np.asarray(model.apply(params, jnp.asarray(toks_np.astype(np.int32))))
+    np.testing.assert_allclose(got, expected, atol=2e-5)
