@@ -131,13 +131,16 @@ def _kernel(x_hbm, alpha_ref, beta_ref, a_e_ref, a_o_ref, d_e_ref, d_o_ref,
     )
     dma.start()
     dma.wait()
-    xb = scratch[:]  # (t_tile + 2·HALO, cb) fp32
+    xb = scratch[:]  # (t_tile + 2·HALO, cb) fp32 or bf16
 
     # ---- polyphase 2× up-FIR as two banded matmuls (MXU) ----------------
+    # bf16 inputs run the matmuls at 4× MXU rate (fp32 matmuls are the
+    # kernel's bottleneck: the banded matrices do ~2k MACs/element);
+    # accumulation is always fp32.
     y_even = jnp.dot(a_e_ref[:], xb, preferred_element_type=jnp.float32)
     y_odd = jnp.dot(a_o_ref[:], xb, preferred_element_type=jnp.float32)
 
-    # ---- snakeβ (VPU) — alpha/beta are EFFECTIVE (post-logscale) --------
+    # ---- snakeβ (VPU, fp32) — alpha/beta are EFFECTIVE (post-logscale) --
     alpha = alpha_ref[0]  # (1, cb) row broadcast
     beta = beta_ref[0]
     inv_beta = 1.0 / (beta + 1e-9)
@@ -145,9 +148,12 @@ def _kernel(x_hbm, alpha_ref, beta_ref, a_e_ref, a_o_ref, d_e_ref, d_o_ref,
     mid_odd = y_odd + inv_beta * jnp.sin(y_odd * alpha) ** 2
 
     # ---- strided 2× down-FIR as two banded matmuls ----------------------
-    z = jnp.dot(d_e_ref[:], mid_even, preferred_element_type=jnp.float32)
-    z = z + jnp.dot(d_o_ref[:], mid_odd, preferred_element_type=jnp.float32)
-    out_ref[:] = z[None]
+    cdt = xb.dtype
+    z = jnp.dot(d_e_ref[:], mid_even.astype(cdt),
+                preferred_element_type=jnp.float32)
+    z = z + jnp.dot(d_o_ref[:], mid_odd.astype(cdt),
+                    preferred_element_type=jnp.float32)
+    out_ref[:] = z[None].astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_hbm, dz_hbm, alpha_ref, beta_ref, a_e_ref, a_o_ref,
@@ -194,9 +200,12 @@ def _bwd_kernel(x_hbm, dz_hbm, alpha_ref, beta_ref, a_e_ref, a_o_ref,
     dy_e, da_e, db_e = parts(y_even, dmid_e)
     dy_o, da_o, db_o = parts(y_odd, dmid_o)
 
-    dx = jnp.dot(c_e_ref[:], dy_e, preferred_element_type=jnp.float32)
-    dx = dx + jnp.dot(c_o_ref[:], dy_o, preferred_element_type=jnp.float32)
-    dx_ref[:] = dx[None]
+    cdt = xb.dtype
+    dx = jnp.dot(c_e_ref[:], dy_e.astype(cdt),
+                 preferred_element_type=jnp.float32)
+    dx = dx + jnp.dot(c_o_ref[:], dy_o.astype(cdt),
+                      preferred_element_type=jnp.float32)
+    dx_ref[:] = dx[None].astype(dx_ref.dtype)
     dalpha_ref[:] = (da_e + da_o).sum(axis=0)[None, None, None]
     dbeta_ref[:] = (db_e + db_o).sum(axis=0)[None, None, None]
 
@@ -223,9 +232,12 @@ def _fused_backward(x, dz, alpha_eff, beta_eff, t_tile: int = 512):
         c = c_pad
 
     pad_spec = ((0, 0), (HALO, HALO + (t_pad - t)), (0, 0))
-    xp = jnp.pad(x.astype(jnp.float32), pad_spec, mode="edge")
+    # bf16 inputs keep the adjoint banded matmuls at bf16 MXU rate (fp32
+    # accumulation; snake derivatives and the α/β reductions stay fp32)
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    xp = jnp.pad(x.astype(cdt), pad_spec, mode="edge")
     # pad grads with ZEROS: grads beyond the clip do not exist
-    dzp = jnp.pad(dz.astype(jnp.float32), pad_spec, mode="constant")
+    dzp = jnp.pad(dz.astype(cdt), pad_spec, mode="constant")
 
     grid = (b, t_pad // t_tile, c // LANE)
     n_t = t_pad // t_tile
@@ -240,7 +252,7 @@ def _fused_backward(x, dz, alpha_eff, beta_eff, t_tile: int = 512):
     dx, dalpha_p, dbeta_p = pl.pallas_call(
         functools.partial(_bwd_kernel, t_tile=t_tile, cb=LANE),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, c), cdt),
             # partial α/β sums: 4-D with a unit axis so the (1, 1, 1, LANE)
             # block satisfies the TPU (8, 128)-tile rule ("equal to the
             # array dimension" case on the unit axis)
@@ -271,17 +283,17 @@ def _fused_backward(x, dz, alpha_eff, beta_eff, t_tile: int = 512):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows_in, LANE), jnp.float32),
-            pltpu.VMEM((rows_in, LANE), jnp.float32),
+            pltpu.VMEM((rows_in, LANE), cdt),
+            pltpu.VMEM((rows_in, LANE), cdt),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(
         xp, dzp,
         alpha_eff.reshape(1, 1, c), beta_eff.reshape(1, 1, c),
-        jnp.asarray(A_e), jnp.asarray(A_o),
-        jnp.asarray(B_e), jnp.asarray(B_o),
-        jnp.asarray(C_e), jnp.asarray(C_o),
+        jnp.asarray(A_e, cdt), jnp.asarray(A_o, cdt),
+        jnp.asarray(B_e, cdt), jnp.asarray(B_o, cdt),
+        jnp.asarray(C_e, cdt), jnp.asarray(C_o, cdt),
     )
     dx = dx[:, :t, :c_orig].astype(x.dtype)
     dalpha = dalpha_p.sum(axis=(0, 1, 2))[:c_orig]
@@ -312,8 +324,12 @@ def _fused_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
         beta = jnp.pad(beta, (0, c_pad - c), constant_values=1.0)
         c = c_pad
 
+    # bf16 inputs stay bf16 through the banded matmuls (4× MXU rate, fp32
+    # accumulation; the snake itself is fp32 either way) — part of the
+    # documented bf16-on-TPU policy divergence.  fp32 inputs are exact.
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     xp = jnp.pad(
-        x.astype(jnp.float32),
+        x.astype(cdt),
         ((0, 0), (HALO, HALO + (t_pad - t)), (0, 0)),
         mode="edge",
     )
@@ -327,7 +343,7 @@ def _fused_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_kernel, t_tile=t_tile, cb=LANE),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), cdt),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
@@ -345,7 +361,7 @@ def _fused_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((t_tile + 2 * HALO, LANE), jnp.float32),
+            pltpu.VMEM((t_tile + 2 * HALO, LANE), cdt),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -353,10 +369,10 @@ def _fused_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
         xp,
         alpha.reshape(1, 1, c),
         beta.reshape(1, 1, c),
-        jnp.asarray(A_e),
-        jnp.asarray(A_o),
-        jnp.asarray(D_e),
-        jnp.asarray(D_o),
+        jnp.asarray(A_e, cdt),
+        jnp.asarray(A_o, cdt),
+        jnp.asarray(D_e, cdt),
+        jnp.asarray(D_o, cdt),
     )
     return out[:, :t, :c_orig].astype(x.dtype)
 

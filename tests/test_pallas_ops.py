@@ -127,3 +127,34 @@ def test_packed_gradients_match_xla():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-6
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+
+
+def test_fused_bf16_inputs_close_to_fp32():
+    """bf16 inputs run the banded matmuls in bf16 (fp32 accumulation) —
+    forward and gradients must stay within bf16 rounding of the fp32 path."""
+    rng = np.random.default_rng(3)
+    x32 = jnp.asarray(rng.standard_normal((1, 160, 128)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+    x16 = x32.astype(jnp.bfloat16)
+
+    got32 = np.asarray(fused_alias_free_snake(x32, alpha, beta, True))
+    got16 = np.asarray(
+        fused_alias_free_snake(x16, alpha, beta, True)
+    ).astype(np.float32)
+    assert got16.dtype == np.float32 and got16.shape == got32.shape
+    # |x| ~ up to ~4 here; bf16 mantissa step ~0.8% relative
+    np.testing.assert_allclose(got16, got32, atol=0.12, rtol=0.02)
+
+    g32 = jax.grad(
+        lambda x_: jnp.sum(fused_alias_free_snake(x_, alpha, beta, True) ** 2)
+    )(x32)
+    g16 = jax.grad(
+        lambda x_: jnp.sum(
+            fused_alias_free_snake(x_, alpha, beta, True).astype(jnp.float32)
+            ** 2
+        )
+    )(x16)
+    np.testing.assert_allclose(
+        np.asarray(g16, np.float32), np.asarray(g32), atol=0.8, rtol=0.05
+    )
