@@ -101,11 +101,14 @@ def _sdpa(q, k, v, scale: float):
             flash_attention,
         )
 
-        # big-block grids amortise per-program overhead: pad long sequences
-        # up to a 512 multiple (6400 → 6656, 4% waste) so blk=512 applies —
-        # 50×50 grids of (128×32)·(32×128) micro-matmuls are launch-bound
+        # Measured on v5e at the UNet's n=6400 b=8 h=4 d=32 (benchmarks/
+        # micro.py attnblocks): the kernel sits exactly at the MXU
+        # pass-count floor 2·(n/128)²·b·h (d=32 keeps every pass at one
+        # contraction/lane tile), so block shape only trims overheads —
+        # block_k spanning the whole (512-padded) sequence removes the
+        # online-softmax rescale loop: 6.55 → 5.96 ms per call.
         if n >= 4096:
-            n_pad = -(-n // 1024) * 1024
+            n_pad = -(-n // 512) * 512
         elif n >= 1024:
             n_pad = -(-n // 512) * 512
         else:
@@ -126,13 +129,19 @@ def _sdpa(q, k, v, scale: float):
             ids = jnp.broadcast_to(ids, (q.shape[0], n_pad))
             segment_ids = SegmentIds(q=ids, kv=ids)
 
-        blk = 1024 if n_pad % 1024 == 0 and n >= 4096 else (
-            512 if n_pad % 512 == 0 else 128)
+        if n >= 4096:
+            # single k-iteration forward: S strip (256 × n_pad) f32 stays
+            # inside VMEM (6656 → 6.8 MB); bwd blocks stay at 512
+            blk_q, blk_k, blk_d = 256, n_pad, 512
+        elif n_pad % 512 == 0:
+            blk_q = blk_k = blk_d = 512
+        else:
+            blk_q = blk_k = blk_d = 128
         bs = BlockSizes(
-            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-            block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
-            block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
-            block_q_dq=blk,
+            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+            block_q_major_dkv=blk_d, block_k_major_dkv=blk_d,
+            block_k_dkv=blk_d, block_q_dkv=blk_d,
+            block_k_major_dq=blk_d, block_k_dq=blk_d, block_q_dq=blk_d,
         )
         out = flash_attention(
             qf, kf, vf, segment_ids=segment_ids, sm_scale=scale,
