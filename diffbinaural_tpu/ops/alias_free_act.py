@@ -7,31 +7,42 @@ This is the TPU-native equivalent of the reference's (unshipped) fused CUDA
     2× kaiser-sinc upsample → snakeβ → 2× kaiser-sinc downsample
 
 The XLA composition (models.bigvgan.Activation1d) materialises the 2×-rate
-intermediate in HBM between three ops; this kernel keeps everything in VMEM
-— one HBM read of x, one HBM write of z, with the polyphase up-FIR, the
-transcendental snake, and the down-FIR fused into 24 shifted multiply-adds
-on the VPU.  Tiles need an 8-row halo, so the input stays in HBM (ANY) and
-each program DMAs its overlapping window into a VMEM scratch.
+intermediate in HBM between three ops; this kernel keeps everything on-chip:
+one HBM read of x, one write of z.
 
 Index algebra (derived from filter.py:30-101 + resample.py:10-58 with
 ratio=2, kernel_size=12, replicate padding; h = kaiser_sinc taps):
 
   up (crop arithmetic folded in, ×2 gain):
-    y[2t]   = 2·Σ_{s=-3..2} x[t+s]·h[5-2s]     (odd taps, reversed)
-    y[2t+1] = 2·Σ_{s=-2..3} x[t+s]·h[6-2s]     (even taps, reversed)
+    y_even[t] = 2·Σ_{s=-3..2} x[t+s]·h[5-2s]     (odd taps, reversed)
+    y_odd[t]  = 2·Σ_{s=-2..3} x[t+s]·h[6-2s]     (even taps, reversed)
   mid = snakeβ(y) = y + sin²(α·y)/β
   down (pad_left 5, pad_right 6, stride 2):
-    z[t] = Σ_{r=0..5} mid[2(t+r)-4]·h[2r+1] + mid[2(t+r)-5]·h[2r]
-         = Σ_r mid_even[t+r-2]·h[2r+1] + mid_odd[t+r-3]·h[2r]
+    z[t] = Σ_{r=0..5} mid_e[t+r-2]·h[2r+1] + mid_o[t+r-3]·h[2r]
 
-so z[t] touches x[t-5 .. t+5]; the input is edge-padded by 8 once in HBM,
-which supplies both the tile halos and the reference's replicate-pad
-boundary semantics.
+so z[t] touches x[t-5 .. t+5]; the input is edge-padded once in HBM, which
+supplies both the tile halos and the reference's replicate-pad boundary
+semantics.
 
-Both directions are fused kernels: the backward has the same stencil
-structure (adjoint banded FIRs + the snake local derivatives + per-channel
-α/β partial reductions), so training pays one kernel each way instead of
-the XLA depthwise-conv composition's vjp.
+Kernel structure (v2 — replaces the earlier banded-matmul formulation that
+spent ~2100 MACs/element on a 12-wide band):
+
+  * All five FIR stages are 6-tap shifted fused-multiply-adds on the VPU
+    with the taps baked in as compile-time scalars (~90 VPU ops/element
+    total, including the two fp32 snakes on the 2×-rate lattice).
+  * Narrow channel counts are TIME-FOLDED into the lane dimension:
+    (B, T, C) → (B, T/R, R·C) is a free row-major reinterpretation, and a
+    time shift τ becomes a (row-shift, lane-rotation) pair — so C=24 tail
+    stages run with 384 active lanes instead of 24/128.
+  * Tiles are overlapping windows materialised by one cheap XLA copy and
+    streamed through the kernel by the normal BlockSpec pipeline (automatic
+    double buffering), instead of per-program manual DMA.
+
+Both directions are fused: the backward runs the adjoint FIRs (reversed
+taps), the snake local derivatives, and the per-channel α/β partial
+reductions in one kernel.  α/β partials are accumulated only over each
+tile's OWN lattice rows (the earlier kernel also summed halo rows, which
+double-counted tile-seam contributions).
 """
 
 from __future__ import annotations
@@ -46,148 +57,119 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..signal.filters import kaiser_sinc_filter1d
 
-HALO = 8
 RATIO = 2
 KSIZE = 12
 LANE = 128
+MAX_LANES = 512  # widest folded tile (VMEM budget for f32 intermediates)
 
 
 @functools.lru_cache(maxsize=1)
-def _phase_taps():
-    h = kaiser_sinc_filter1d(0.5 / RATIO, 0.6 / RATIO, KSIZE).astype(np.float32)
-    w_even = np.array([h[5 - 2 * s] for s in range(-3, 3)], np.float32)
-    w_odd = np.array([h[6 - 2 * s] for s in range(-2, 4)], np.float32)
-    return w_even, w_odd, h
+def _taps():
+    """(we2, wo2, he, ho): up-FIR phase taps (×2 gain folded in) and
+    down-FIR phase taps, as plain python floats (baked into kernels)."""
+    h = kaiser_sinc_filter1d(0.5 / RATIO, 0.6 / RATIO, KSIZE).astype(np.float64)
+    we2 = [2.0 * float(h[5 - 2 * s]) for s in range(-3, 3)]   # y_even, s=-3..2
+    wo2 = [2.0 * float(h[6 - 2 * s]) for s in range(-2, 4)]   # y_odd,  s=-2..3
+    he = [float(h[2 * r + 1]) for r in range(6)]
+    ho = [float(h[2 * r]) for r in range(6)]
+    return we2, wo2, he, ho
 
 
-@functools.lru_cache(maxsize=8)
-def _banded_mats_bwd(t_tile: int):
-    """Adjoint FIRs as banded matrices (same stencil structure as forward):
-
-      d_mid_e = B_e · dz,  d_mid_o = B_o · dz     B: (U, t_tile + 2·HALO)
-      dx      = C_e · dy_e + C_o · dy_o           C: (t_tile, U)
-
-    Derivation: z[t] = Σ_r mid_e[t+r−2]·h[2r+1] + mid_o[t+r−3]·h[2r] gives
-    d_mid_e[u] = Σ_r dz[u−r+2]·h[2r+1], d_mid_o[u] = Σ_r dz[u−r+3]·h[2r];
-    y_e[u] = Σ_s x[u+s]·we[s+3] gives dx[t] = Σ_s dy_e[t−s]·we[s+3] (+odd).
-    """
-    w_even, w_odd, h = _phase_taps()
-    rows_in = t_tile + 2 * HALO
-    U = t_tile + 6
-    B_e = np.zeros((U, rows_in), np.float32)
-    B_o = np.zeros((U, rows_in), np.float32)
-    for u_idx in range(U):
-        for r in range(6):
-            B_e[u_idx, u_idx - r + 7] = h[2 * r + 1]   # dz[(u−r+2)+H]
-            B_o[u_idx, u_idx - r + 8] = h[2 * r]       # dz[(u−r+3)+H]
-    C_e = np.zeros((t_tile, U), np.float32)
-    C_o = np.zeros((t_tile, U), np.float32)
-    for t in range(t_tile):
-        for s in range(-3, 3):   # u_idx = t − s + 3
-            C_e[t, t - s + 3] = RATIO * w_even[s + 3]
-        for s in range(-2, 4):
-            C_o[t, t - s + 3] = RATIO * w_odd[s + 2]
-    return B_e, B_o, C_e, C_o
+def _fold_factor(c: int) -> int:
+    """Largest R with (R·C) % 128 == 0 and R·C ≤ MAX_LANES (else 1)."""
+    best = 1 if c % LANE == 0 else 0
+    for r in range(2, MAX_LANES + 1):
+        if r * c > MAX_LANES:
+            break
+        if (r * c) % LANE == 0:
+            best = r
+    return max(best, 1) if best else 0
 
 
-@functools.lru_cache(maxsize=8)
-def _banded_mats(t_tile: int):
-    """The three FIR stages as banded matrices — misaligned sublane shifts
-    are slow on the VPU, but a banded (rows × rows) matmul rides the MXU:
-
-      y_even = A_e · xb,  y_odd = A_o · xb     A: (U, t_tile + 2·HALO)
-      z      = D_e · mid_even + D_o · mid_odd  D: (t_tile, U)
-    """
-    w_even, w_odd, h = _phase_taps()
-    rows_in = t_tile + 2 * HALO
-    U = t_tile + 6
-    A_e = np.zeros((U, rows_in), np.float32)
-    A_o = np.zeros((U, rows_in), np.float32)
-    for u in range(U):
-        for s in range(-3, 3):
-            A_e[u, 5 + s + u] = RATIO * w_even[s + 3]
-        for s in range(-2, 4):
-            A_o[u, 5 + s + u] = RATIO * w_odd[s + 2]
-    D_e = np.zeros((t_tile, U), np.float32)
-    D_o = np.zeros((t_tile, U), np.float32)
-    for t in range(t_tile):
-        for r in range(6):
-            D_e[t, r + 1 + t] = h[2 * r + 1]
-            D_o[t, r + t] = h[2 * r]
-    return A_e, A_o, D_e, D_o
+def _geometry(c: int):
+    """(R, L, HY, HR): fold factor, folded lane count, y-lattice halo rows,
+    x-window halo rows.  HY covers the ±3-tap up/down reach (+1 row for the
+    lane-rotation carry).  HR is pinned to 8 rows — always enough for the
+    full ±8-sample stencil, and sublane-aligned so the head/main/tail
+    window pieces concatenate on 8-row boundaries inside the kernel."""
+    r = _fold_factor(c)
+    if r == 0:  # C not foldable to a 128 multiple → caller lane-pads
+        return 0, 0, 0, 0
+    hy = -(-4 // r)  # ceil(4/R)
+    return r, r * c, hy, 8
 
 
-def _kernel(x_hbm, alpha_ref, beta_ref, a_e_ref, a_o_ref, d_e_ref, d_o_ref,
-            out_ref, scratch, sem, *, t_tile, cb):
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    ci = pl.program_id(2)
+def _tshift(arr, tau: int, base: int, rows: int, R: int, C: int):
+    """Time-shift by τ on a time-folded (rows_in, R·C) array: static
+    row-shifted slice + (for τ % R ≠ 0) a lane rotation with row carry.
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + 2 * HALO),
-                 pl.ds(ci * cb, cb)],
-        scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-    xb = scratch[:]  # (t_tile + 2·HALO, cb) fp32 or bf16
-
-    # ---- polyphase 2× up-FIR as two banded matmuls (MXU) ----------------
-    # bf16 inputs run the matmuls at 4× MXU rate (fp32 matmuls are the
-    # kernel's bottleneck: the banded matrices do ~2k MACs/element);
-    # accumulation is always fp32.
-    y_even = jnp.dot(a_e_ref[:], xb, preferred_element_type=jnp.float32)
-    y_odd = jnp.dot(a_o_ref[:], xb, preferred_element_type=jnp.float32)
-
-    # ---- snakeβ (VPU, fp32) — alpha/beta are EFFECTIVE (post-logscale) --
-    alpha = alpha_ref[0]  # (1, cb) row broadcast
-    beta = beta_ref[0]
-    inv_beta = 1.0 / (beta + 1e-9)
-    mid_even = y_even + inv_beta * jnp.sin(y_even * alpha) ** 2
-    mid_odd = y_odd + inv_beta * jnp.sin(y_odd * alpha) ** 2
-
-    # ---- strided 2× down-FIR as two banded matmuls ----------------------
-    cdt = xb.dtype
-    z = jnp.dot(d_e_ref[:], mid_even.astype(cdt),
-                preferred_element_type=jnp.float32)
-    z = z + jnp.dot(d_o_ref[:], mid_odd.astype(cdt),
-                    preferred_element_type=jnp.float32)
-    out_ref[:] = z[None].astype(out_ref.dtype)
+    The rotation is expressed as select-then-roll (result[l] =
+    l < L-cut ? a[l+cut] : b[l+cut-L]) because Mosaic lowers lane
+    ``tpu.rotate`` but not misaligned lane concatenation."""
+    delta, rho = divmod(tau, R)
+    lo = base + delta
+    a = jax.lax.slice_in_dim(arr, lo, lo + rows, axis=0)
+    if rho == 0:
+        return a
+    b = jax.lax.slice_in_dim(arr, lo + 1, lo + 1 + rows, axis=0)
+    cut = rho * C
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, arr.shape[1]), 1)
+    merged = jnp.where(lane < cut, b, a)
+    return pltpu.roll(merged, arr.shape[1] - cut, axis=1)
 
 
-def _bwd_kernel(x_hbm, dz_hbm, alpha_ref, beta_ref, a_e_ref, a_o_ref,
-                b_e_ref, b_o_ref, c_e_ref, c_o_ref,
-                dx_ref, dalpha_ref, dbeta_ref, x_scr, dz_scr, sem, *,
-                t_tile, cb):
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    ci = pl.program_id(2)
+def _up_snake(xw, alpha, inv_beta, t_tile, HY, HR, R, C):
+    """Shared by fwd/bwd: x window → (y_e, y_o, mid_e, mid_o) on the
+    RY = t_tile + 2·HY row lattice."""
+    we2, wo2, _, _ = _taps()
+    RY = t_tile + 2 * HY
+    base = HR - HY
+    sh = {t: _tshift(xw, t, base, RY, R, C) for t in range(-3, 4)}
+    y_e = we2[0] * sh[-3]
+    y_o = wo2[0] * sh[-2]
+    for i in range(1, 6):
+        y_e = y_e + we2[i] * sh[i - 3]
+        y_o = y_o + wo2[i] * sh[i - 2]
+    mid_e = y_e + inv_beta * jnp.sin(y_e * alpha) ** 2
+    mid_o = y_o + inv_beta * jnp.sin(y_o * alpha) ** 2
+    return y_e, y_o, mid_e, mid_o
 
-    dma_x = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + 2 * HALO),
-                 pl.ds(ci * cb, cb)], x_scr, sem)
-    dma_x.start()
-    dma_x.wait()
-    dma_z = pltpu.make_async_copy(
-        dz_hbm.at[bi, pl.ds(ti * t_tile, t_tile + 2 * HALO),
-                  pl.ds(ci * cb, cb)], dz_scr, sem)
-    dma_z.start()
-    dma_z.wait()
-    xb = x_scr[:]
-    dzb = dz_scr[:]
 
-    # recompute the mid-lattice pre-activations (same as forward)
-    y_even = jnp.dot(a_e_ref[:], xb, preferred_element_type=jnp.float32)
-    y_odd = jnp.dot(a_o_ref[:], xb, preferred_element_type=jnp.float32)
+def _fwd_kernel(x_ref, alpha_ref, invb_ref, out_ref,
+                *, t_tile, HY, HR, R, C):
+    _, _, he, ho = _taps()
+    xw = x_ref[0, 0].astype(jnp.float32)
+    alpha = alpha_ref[0]
+    inv_beta = invb_ref[0]
+    _, _, mid_e, mid_o = _up_snake(xw, alpha, inv_beta, t_tile, HY, HR, R, C)
+    z = he[0] * _tshift(mid_e, -2, HY, t_tile, R, C)
+    z = z + ho[0] * _tshift(mid_o, -3, HY, t_tile, R, C)
+    for r in range(1, 6):
+        z = z + he[r] * _tshift(mid_e, r - 2, HY, t_tile, R, C)
+        z = z + ho[r] * _tshift(mid_o, r - 3, HY, t_tile, R, C)
+    out_ref[0, 0] = z.astype(out_ref.dtype)
 
-    alpha = alpha_ref[0]  # effective (post-logscale) values
-    beta = beta_ref[0]
-    inv_beta = 1.0 / (beta + 1e-9)
 
-    # adjoint of the down-FIR
-    dmid_e = jnp.dot(b_e_ref[:], dzb, preferred_element_type=jnp.float32)
-    dmid_o = jnp.dot(b_o_ref[:], dzb, preferred_element_type=jnp.float32)
+def _bwd_kernel(x_ref, dz_ref, alpha_ref, invb_ref,
+                dx_ref, da_ref, db_ref, *, t_tile, HY, HR, R, C):
+    we2, wo2, he, ho = _taps()
+    xw = x_ref[0, 0].astype(jnp.float32)
+    dzw = dz_ref[0, 0].astype(jnp.float32)
+    alpha = alpha_ref[0]
+    inv_beta = invb_ref[0]
+
+    y_e, y_o, _, _ = _up_snake(xw, alpha, inv_beta, t_tile, HY, HR, R, C)
+
+    # adjoint of the down-FIR: dmid_e[u] = Σ_r dz[u-r+2]·he[r],
+    #                          dmid_o[u] = Σ_r dz[u-r+3]·ho[r]
+    RY = t_tile + 2 * HY
+    base = HR - HY
+    dsh = {t: _tshift(dzw, t, base, RY, R, C) for t in range(-3, 4)}
+    dmid_e = he[0] * dsh[2]
+    dmid_o = ho[0] * dsh[3]
+    for r in range(1, 6):
+        dmid_e = dmid_e + he[r] * dsh[2 - r]
+        dmid_o = dmid_o + ho[r] * dsh[3 - r]
 
     # snakeβ local derivatives: mid = y + sin²(αy)/β
     def parts(y, dmid):
@@ -197,189 +179,176 @@ def _bwd_kernel(x_hbm, dz_hbm, alpha_ref, beta_ref, a_e_ref, a_o_ref,
         db = dmid * (-(jnp.sin(alpha * y) ** 2) * inv_beta * inv_beta)
         return dy, da, db
 
-    dy_e, da_e, db_e = parts(y_even, dmid_e)
-    dy_o, da_o, db_o = parts(y_odd, dmid_o)
+    dy_e, da_e, db_e = parts(y_e, dmid_e)
+    dy_o, da_o, db_o = parts(y_o, dmid_o)
 
-    cdt = xb.dtype
-    dx = jnp.dot(c_e_ref[:], dy_e.astype(cdt),
-                 preferred_element_type=jnp.float32)
-    dx = dx + jnp.dot(c_o_ref[:], dy_o.astype(cdt),
-                      preferred_element_type=jnp.float32)
-    dx_ref[:] = dx[None].astype(dx_ref.dtype)
-    dalpha_ref[:] = (da_e + da_o).sum(axis=0)[None, None, None]
-    dbeta_ref[:] = (db_e + db_o).sum(axis=0)[None, None, None]
+    # adjoint of the up-FIR: dx[t] = Σ_s dy_e[t-s]·we2[s+3] + dy_o[t-s]·wo2[s+2]
+    dx = we2[0] * _tshift(dy_e, 3, HY, t_tile, R, C)
+    dx = dx + wo2[0] * _tshift(dy_o, 2, HY, t_tile, R, C)
+    for i in range(1, 6):
+        dx = dx + we2[i] * _tshift(dy_e, 3 - i, HY, t_tile, R, C)
+        dx = dx + wo2[i] * _tshift(dy_o, 2 - i, HY, t_tile, R, C)
+    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+
+    # α/β partials over THIS tile's own lattice rows only (interior halo
+    # rows belong to the neighbouring tile — summing them double-counts
+    # seams).  The first/last tiles DO own their outer halo rows: the
+    # clip-edge lattice (replicated input, real dz within FIR reach)
+    # contributes to dα/dβ exactly as in the unfused composition.
+    RY = t_tile + 2 * HY
+    ti = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RY, 1), 0)
+    own_lo = jnp.where(ti == 0, 0, HY)
+    own_hi = jnp.where(ti == n_t - 1, RY, HY + t_tile)
+    own = jnp.logical_and(rows >= own_lo, rows < own_hi)
+    da_ref[0, 0] = jnp.where(own, da_e + da_o, 0.0).sum(axis=0)[None]
+    db_ref[0, 0] = jnp.where(own, db_e + db_o, 0.0).sum(axis=0)[None]
 
 
-def _fused_backward(x, dz, alpha_eff, beta_eff, t_tile: int = 512):
-    """Adjoint of the fused op wrt (x, effective α, effective β).
+def _plan(x, bwd: bool = False):
+    """Common layout planning: lane padding, fold, window geometry.
 
-    x, dz: (B, T, C) with C % 128 == 0.  The edge-replication adjoint's
-    scatter back into the clip's first/last samples is dropped (matches the
-    forward's documented boundary convention; ≤8 outer samples).
-    """
+    The backward keeps ~2× the live f32 intermediates, so it runs half the
+    forward's row tile to stay inside VMEM."""
     b, t, c = x.shape
-    c_orig = c
-    interpret = jax.default_backend() != "tpu"
-    t_tile = min(t_tile, -(-t // 8) * 8)
-    t_pad = -(-t // t_tile) * t_tile
+    c_pad = c if _fold_factor(c) else -(-c // LANE) * LANE
+    R, L, HY, HR = _geometry(c_pad)
+    P = HR * R
+    rows_valid = -(-t // R)
+    cap = (512 if L <= 384 else 256) // (2 if bwd else 1)
+    t_tile = min(cap, -(-rows_valid // 8) * 8)
+    n_t = -(-rows_valid // t_tile)
+    total_t = (n_t * t_tile + 2 * HR) * R
+    W = t_tile + 2 * HR
+    return dict(b=b, t=t, c=c, c_pad=c_pad, R=R, L=L, HY=HY, HR=HR, P=P,
+                t_tile=t_tile, n_t=n_t, total_t=total_t, W=W)
 
-    c_pad = -(-c // LANE) * LANE
-    if c_pad != c:  # lane padding, mirroring the forward
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, c_pad - c)))
-        dz = jnp.pad(dz, ((0, 0), (0, 0), (0, c_pad - c)))
-        alpha_eff = jnp.pad(alpha_eff, (0, c_pad - c))
-        beta_eff = jnp.pad(beta_eff, (0, c_pad - c), constant_values=1.0)
-        c = c_pad
 
-    pad_spec = ((0, 0), (HALO, HALO + (t_pad - t)), (0, 0))
-    # bf16 inputs keep the adjoint banded matmuls at bf16 MXU rate (fp32
-    # accumulation; snake derivatives and the α/β reductions stay fp32)
-    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    xp = jnp.pad(x.astype(cdt), pad_spec, mode="edge")
-    # pad grads with ZEROS: grads beyond the clip do not exist
-    dzp = jnp.pad(dz.astype(cdt), pad_spec, mode="constant")
-
-    grid = (b, t_pad // t_tile, c // LANE)
-    n_t = t_pad // t_tile
-    A_e, A_o, _, _ = _banded_mats(t_tile)
-    B_e, B_o, C_e, C_o = _banded_mats_bwd(t_tile)
-    U = t_tile + 6
-    rows_in = t_tile + 2 * HALO
-    const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda bi, ti, ci: (0, 0), memory_space=pltpu.VMEM
+def _windows(xp, g):
+    """(B, total_rows, L) folded padded input → (B, n_t, W, L) overlapping
+    tile windows (one XLA copy, pipelined into the kernel by BlockSpec)."""
+    xf = xp.reshape(g["b"], g["total_t"] // g["R"], g["L"])
+    return jnp.stack(
+        [xf[:, i * g["t_tile"]: i * g["t_tile"] + g["W"]]
+         for i in range(g["n_t"])],
+        axis=1,
     )
 
-    dx, dalpha_p, dbeta_p = pl.pallas_call(
-        functools.partial(_bwd_kernel, t_tile=t_tile, cb=LANE),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t_pad, c), cdt),
-            # partial α/β sums: 4-D with a unit axis so the (1, 1, 1, LANE)
-            # block satisfies the TPU (8, 128)-tile rule ("equal to the
-            # array dimension" case on the unit axis)
-            jax.ShapeDtypeStruct((b, n_t, 1, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_t, 1, c), jnp.float32),
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, LANE), lambda bi, ti, ci: (0, 0, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANE), lambda bi, ti, ci: (0, 0, ci),
-                         memory_space=pltpu.VMEM),
-            const_spec((U, rows_in)),
-            const_spec((U, rows_in)),
-            const_spec((U, rows_in)),
-            const_spec((U, rows_in)),
-            const_spec((t_tile, U)),
-            const_spec((t_tile, U)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, t_tile, LANE), lambda bi, ti, ci: (bi, ti, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, LANE), lambda bi, ti, ci: (bi, ti, 0, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, LANE), lambda bi, ti, ci: (bi, ti, 0, ci),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((rows_in, LANE), cdt),
-            pltpu.VMEM((rows_in, LANE), cdt),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(
-        xp, dzp,
-        alpha_eff.reshape(1, 1, c), beta_eff.reshape(1, 1, c),
-        jnp.asarray(A_e, cdt), jnp.asarray(A_o, cdt),
-        jnp.asarray(B_e, cdt), jnp.asarray(B_o, cdt),
-        jnp.asarray(C_e, cdt), jnp.asarray(C_o, cdt),
-    )
-    dx = dx[:, :t, :c_orig].astype(x.dtype)
-    dalpha = dalpha_p.sum(axis=(0, 1, 2))[:c_orig]
-    dbeta = dbeta_p.sum(axis=(0, 1, 2))[:c_orig]
-    return dx, dalpha, dbeta
+
+def _pad_fold(x, g, mode):
+    """Lane-pad to c_pad, edge/zero-pad time to total_t (P leading)."""
+    if g["c_pad"] != g["c"]:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, g["c_pad"] - g["c"])))
+    tail = g["total_t"] - g["P"] - g["t"]
+    return jnp.pad(x, ((0, 0), (g["P"], tail), (0, 0)), mode=mode)
 
 
-def _fused_forward(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
-                   t_tile: int = 512) -> jnp.ndarray:
-    """x: (B, T, C) → (B, T, C); alpha/beta are EFFECTIVE per-channel
-    values (log-scaling is applied by the public wrapper).
+def _lane_params(alpha_eff, beta_eff, g):
+    """(C,) effective α/β → (1, L) folded rows (α tiled; 1/(β+ε) precomputed)."""
+    if g["c_pad"] != g["c"]:
+        alpha_eff = jnp.pad(alpha_eff, (0, g["c_pad"] - g["c"]))
+        beta_eff = jnp.pad(beta_eff, (0, g["c_pad"] - g["c"]),
+                           constant_values=1.0)
+    alpha = jnp.tile(alpha_eff, g["R"]).reshape(1, g["L"])
+    inv_beta = jnp.tile(1.0 / (beta_eff + 1e-9), g["R"]).reshape(1, g["L"])
+    return alpha.astype(jnp.float32), inv_beta.astype(jnp.float32)
+
+
+def _unfold(out, g, dtype):
+    """(B, n_t, t_tile, L) → (B, T, C)."""
+    out = out.reshape(g["b"], g["n_t"] * g["t_tile"] * g["R"], g["c_pad"])
+    return out[:, : g["t"], : g["c"]].astype(dtype)
+
+
+def _fused_forward(x: jnp.ndarray, alpha_eff, beta_eff) -> jnp.ndarray:
+    """x: (B, T, C) → (B, T, C); α/β are EFFECTIVE per-channel values
+    (log-scaling applied by the public wrapper).
 
     Boundary note: clip edges (outer ≤3 samples) evaluate the continued FIR
     on the replicated input rather than the reference's clamped
-    intermediate — interior samples are bit-matched to the XLA composition.
-    """
-    b, t, c = x.shape
-    c_orig = c
+    intermediate — interior samples match the XLA composition."""
+    g = _plan(x)
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
-    t_tile = min(t_tile, -(-t // 8) * 8)
-    t_pad = -(-t // t_tile) * t_tile
-
-    c_pad = -(-c // LANE) * LANE
-    if c_pad != c:  # narrow tail stages (C=96/48/24): pad lanes — still
-        # several× faster than the VPU depthwise-conv composition
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, c_pad - c)))
-        alpha = jnp.pad(alpha, (0, c_pad - c))
-        beta = jnp.pad(beta, (0, c_pad - c), constant_values=1.0)
-        c = c_pad
-
-    # bf16 inputs stay bf16 through the banded matmuls (4× MXU rate, fp32
-    # accumulation; the snake itself is fp32 either way) — part of the
-    # documented bf16-on-TPU policy divergence.  fp32 inputs are exact.
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    xp = jnp.pad(
-        x.astype(cdt),
-        ((0, 0), (HALO, HALO + (t_pad - t)), (0, 0)),
-        mode="edge",
-    )
-    grid = (b, t_pad // t_tile, c // LANE)
-    A_e, A_o, D_e, D_o = _banded_mats(t_tile)
-    U = t_tile + 6
-    rows_in = t_tile + 2 * HALO
-    const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda bi, ti, ci: (0, 0), memory_space=pltpu.VMEM
-    )
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, t_tile=t_tile, cb=LANE),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), cdt),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((1, 1, LANE), lambda bi, ti, ci: (0, 0, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANE), lambda bi, ti, ci: (0, 0, ci),
-                         memory_space=pltpu.VMEM),
-            const_spec((U, rows_in)),
-            const_spec((U, rows_in)),
-            const_spec((t_tile, U)),
-            const_spec((t_tile, U)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, t_tile, LANE), lambda bi, ti, ci: (bi, ti, ci),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((t_tile + 2 * HALO, LANE), cdt),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(
-        xp,
-        alpha.reshape(1, 1, c),
-        beta.reshape(1, 1, c),
-        jnp.asarray(A_e, cdt),
-        jnp.asarray(A_o, cdt),
-        jnp.asarray(D_e, cdt),
-        jnp.asarray(D_o, cdt),
+    xw = _windows(_pad_fold(x.astype(cdt), g, "edge"), g)
+    alpha, inv_beta = _lane_params(alpha_eff, beta_eff, g)
+
+    kern = functools.partial(
+        _fwd_kernel, t_tile=g["t_tile"], HY=g["HY"], HR=g["HR"],
+        R=g["R"], C=g["c_pad"],
     )
-    return out[:, :t, :c_orig].astype(x.dtype)
+    win_spec = pl.BlockSpec((1, 1, g["W"], g["L"]),
+                            lambda bi, ti: (bi, ti, 0, 0))
+    par_spec = pl.BlockSpec((1, g["L"]), lambda bi, ti: (0, 0))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (g["b"], g["n_t"], g["t_tile"], g["L"]), cdt
+        ),
+        grid=(g["b"], g["n_t"]),
+        in_specs=[win_spec, par_spec, par_spec],
+        out_specs=pl.BlockSpec(
+            (1, 1, g["t_tile"], g["L"]), lambda bi, ti: (bi, ti, 0, 0)
+        ),
+        interpret=interpret,
+    )(xw, alpha, inv_beta)
+    return _unfold(out, g, x.dtype)
+
+
+def _fused_backward(x, dz, alpha_eff, beta_eff):
+    """Adjoint of the fused op wrt (x, effective α, effective β).
+
+    The edge-replication adjoint's scatter back into the clip's first/last
+    samples is dropped (matches the forward's documented boundary
+    convention; ≤8 outer samples)."""
+    g = _plan(x, bwd=True)
+    interpret = jax.default_backend() != "tpu"
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+    xw = _windows(_pad_fold(x.astype(cdt), g, "edge"), g)
+    # pad grads with ZEROS: grads beyond the clip do not exist
+    dzw = _windows(_pad_fold(dz.astype(cdt), g, "constant"), g)
+    alpha, inv_beta = _lane_params(alpha_eff, beta_eff, g)
+
+    kern = functools.partial(
+        _bwd_kernel, t_tile=g["t_tile"], HY=g["HY"], HR=g["HR"],
+        R=g["R"], C=g["c_pad"],
+    )
+    win_spec = pl.BlockSpec((1, 1, g["W"], g["L"]),
+                            lambda bi, ti: (bi, ti, 0, 0))
+    par_spec = pl.BlockSpec((1, g["L"]), lambda bi, ti: (0, 0))
+    dx, da_p, db_p = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((g["b"], g["n_t"], g["t_tile"], g["L"]), cdt),
+            # per-tile α/β partial sums; the unit sublane axis satisfies the
+            # TPU tile rule ("equal to the array dimension" case)
+            jax.ShapeDtypeStruct((g["b"], g["n_t"], 1, g["L"]), jnp.float32),
+            jax.ShapeDtypeStruct((g["b"], g["n_t"], 1, g["L"]), jnp.float32),
+        ),
+        grid=(g["b"], g["n_t"]),
+        in_specs=[win_spec, win_spec, par_spec, par_spec],
+        out_specs=(
+            pl.BlockSpec((1, 1, g["t_tile"], g["L"]),
+                         lambda bi, ti: (bi, ti, 0, 0)),
+            pl.BlockSpec((1, 1, 1, g["L"]), lambda bi, ti: (bi, ti, 0, 0)),
+            pl.BlockSpec((1, 1, 1, g["L"]), lambda bi, ti: (bi, ti, 0, 0)),
+        ),
+        interpret=interpret,
+    )(xw, dzw, alpha, inv_beta)
+
+    dx = _unfold(dx, g, x.dtype)
+    # fold the R phase copies and the lane padding back to (C,)
+    da = da_p.sum(axis=(0, 1, 2)).reshape(g["R"], g["c_pad"]).sum(axis=0)
+    db = db_p.sum(axis=(0, 1, 2)).reshape(g["R"], g["c_pad"]).sum(axis=0)
+    return dx, da[: g["c"]], db[: g["c"]]
 
 
 @jax.custom_vjp
 def _core(x, alpha_eff, beta_eff):
-    """C % 128 == 0 core with the fused Pallas forward AND backward."""
+    """Fused Pallas forward AND backward on (B, T, C), any C."""
     return _fused_forward(x, alpha_eff, beta_eff)
 
 
@@ -387,9 +356,9 @@ def _core_fwd(x, alpha_eff, beta_eff):
     return _fused_forward(x, alpha_eff, beta_eff), (x, alpha_eff, beta_eff)
 
 
-def _core_bwd(res, g):
+def _core_bwd(res, grad):
     x, alpha_eff, beta_eff = res
-    return _fused_backward(x, g, alpha_eff, beta_eff)
+    return _fused_backward(x, grad, alpha_eff, beta_eff)
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -400,29 +369,7 @@ def fused_alias_free_snake(x, alpha, beta, logscale: bool = True):
 
     alpha/beta: (C,) raw parameters (log-space when ``logscale``; the exp
     is applied here so autodiff chains it through the core's custom VJP).
-    C < 128 runs the slab-packed variant (time tiles share the lane dim,
-    pure-XLA pack/unpack around the core, also differentiable)."""
+    Narrow C runs time-folded into lanes inside the core."""
     alpha_eff = jnp.exp(alpha) if logscale else alpha
     beta_eff = jnp.exp(beta) if logscale else beta
-    c = x.shape[-1]
-    s = max(1, LANE // c) if c < LANE else 1
-    if s > 1:
-        return _packed_core(x, alpha_eff, beta_eff, s)
     return _core(x, alpha_eff, beta_eff)
-
-
-def _packed_core(x, alpha_eff, beta_eff, s: int):
-    """Slab packing expressed in differentiable XLA around _core."""
-    b, t, c = x.shape
-    ts = -(-(-(-t // s)) // 8) * 8
-    t_tot = s * ts
-    xp = jnp.pad(
-        x, ((0, 0), (HALO, HALO + (t_tot - t)), (0, 0)), mode="edge"
-    )
-    idx = np.arange(ts + 2 * HALO)[None, :] + ts * np.arange(s)[:, None]
-    slabs = xp[:, idx, :]
-    slabs = slabs.transpose(0, 2, 1, 3).reshape(b, ts + 2 * HALO, s * c)
-    out = _core(slabs, jnp.tile(alpha_eff, s), jnp.tile(beta_eff, s))
-    out = out.reshape(b, ts + 2 * HALO, s, c).transpose(0, 2, 1, 3)
-    out = out[:, :, HALO : HALO + ts, :].reshape(b, t_tot, c)
-    return out[:, :t, :]

@@ -91,6 +91,26 @@ def test_fused_gradients_match_xla():
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
 
 
+def test_multi_tile_alpha_beta_grads():
+    """α/β grads across tile seams: each lattice point must contribute
+    exactly once (a halo-row double-count here escaped the single-tile
+    grad test in an earlier kernel)."""
+    rng = np.random.default_rng(11)
+    t = 1200  # > bwd row tile → several tiles
+    x = jnp.asarray(rng.standard_normal((1, t, 128)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+
+    gf = jax.grad(lambda *a: jnp.sum(fused_alias_free_snake(*a, True) ** 2),
+                  argnums=(1, 2))(x, alpha, beta)
+    gx = jax.grad(lambda *a: jnp.sum(_xla_reference(*a) ** 2),
+                  argnums=(1, 2))(x, alpha, beta)
+    for a, b in zip(gf, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-3)
+
+
 @pytest.mark.parametrize("c,t", [(24, 700), (48, 300), (96, 128)])
 def test_packed_narrow_channels_match_xla(c, t):
     """Slab-packed path (C < 128) must match the XLA composition except at
