@@ -220,7 +220,8 @@ def bench_unet_ablate(batch=8, reps=10):
 
 
 def check_flash_correctness(n=6400, heads=4, d=32, batch=2):
-    """_sdpa flash path vs dense einsum reference, on the live backend."""
+    """_sdpa flash path vs dense einsum reference (fwd + grads), on the
+    live backend."""
     from diffbinaural_tpu.models.attention import _sdpa
 
     rng = np.random.default_rng(0)
@@ -236,8 +237,29 @@ def check_flash_correctness(n=6400, heads=4, d=32, batch=2):
         jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim, axis=-1), v)
     )
     err = np.abs(got - want).max()
-    print(f"flash vs dense n={n}: max abs err {err:.4f} "
+    print(f"flash vs dense n={n} fwd: max abs err {err:.4f} "
           f"({'OK' if err < 0.03 else 'FAIL'})")
+
+    def loss_fast(q_, k_, v_):
+        return jnp.sum(
+            _sdpa(q_.astype(jnp.bfloat16), k_.astype(jnp.bfloat16),
+                  v_.astype(jnp.bfloat16), d**-0.5).astype(jnp.float32) ** 2
+        )
+
+    def loss_dense(q_, k_, v_):
+        s = jnp.einsum("bhid,bhjd->bhij", q_ * (d**-0.5), k_,
+                       preferred_element_type=jnp.float32)
+        o = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(s, axis=-1), v_)
+        return jnp.sum(o**2)
+
+    gf = jax.jit(jax.grad(loss_fast, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip("qkv", gf, gd):
+        a, b = np.asarray(a, np.float32), np.asarray(b)
+        scale_ = np.abs(b).max() + 1e-6
+        rel = np.abs(a - b).max() / scale_
+        print(f"  d{name}: max rel-to-peak err {rel:.4f} "
+              f"({'OK' if rel < 0.05 else 'FAIL'})")
 
 
 def bench_vocoder_ablate(seconds=10.0, reps=3):
@@ -298,8 +320,8 @@ def bench_act(t=16384, c=768, batch=1, reps=20, dtype=jnp.float32):
           f"{1e3 * dt / reps:.3f} ms ({gbps:.0f} GB/s effective)")
 
 
-def bench_act_narrow(t=220416, c=24, batch=2, reps=10):
-    """Narrow tail stage: slab-packed wrapper vs plain lane-padded core."""
+def bench_act_narrow(t=220416, c=24, batch=2, reps=50):
+    """Narrow tail stage through the time-folded kernel."""
     from diffbinaural_tpu.ops import alias_free_act as afa
 
     tpu = jax.devices()[0]
@@ -310,26 +332,201 @@ def bench_act_narrow(t=220416, c=24, batch=2, reps=10):
     a = jax.device_put(jnp.zeros((c,)), tpu)
     b = jax.device_put(jnp.zeros((c,)), tpu)
 
-    def mk_loop(fn):
+    @jax.jit
+    def loop(x, a_, b_):
+        def body(carry, i):
+            y = afa.fused_alias_free_snake(
+                x + carry.astype(x.dtype), a_, b_, True
+            )
+            return jnp.float32(jnp.sum(y)) * 1e-12, ()
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return acc
+
+    dt = timed(loop, x, a, b)
+    print(f"act narrow c={c} t={t} (folded): {1e3 * dt / reps:.3f} ms")
+
+
+def bench_train1(batch=16, reps=5):
+    """Production stage-1 diffusion train step (precomputed visual feats)."""
+    from diffbinaural_tpu.models import AudioVisualModel
+    from diffbinaural_tpu.train import make_stage1_train_step
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    unet = AudioVisualModel(dim=64, dtype=jnp.bfloat16)
+    with jax.default_device(cpu):
+        x = jnp.zeros((batch, 2, 80, 80))
+        t = jnp.zeros((batch,), jnp.int32)
+        cond = (
+            jnp.zeros((batch, 1, 80, 80)),
+            jnp.zeros((batch, 512)),
+            jnp.zeros((batch, 2, 80, 80)),
+        )
+        params = {"unet": unet.init(jax.random.PRNGKey(0), x, t, cond)}
+    params = jax.device_put(params, tpu)
+
+    init_fn, step_fn = make_stage1_train_step(
+        unet_apply=lambda p, x_, t_, c: unet.apply(p, x_, t_, c),
+    )
+    state = init_fn(params)
+    rng_np = np.random.default_rng(0)
+    batch_data = jax.device_put(
+        {
+            "mono_mel": jnp.asarray(
+                rng_np.standard_normal((batch, 1, 80, 80)), jnp.float32
+            ) - 6.0,
+            "binaural_mel": jnp.asarray(
+                rng_np.standard_normal((batch, 2, 80, 80)), jnp.float32
+            ) - 6.0,
+            "feat": jnp.asarray(
+                rng_np.standard_normal((batch, 512)), jnp.float32
+            ),
+        },
+        tpu,
+    )
+    rng = jax.random.PRNGKey(0)
+
+    state, m = step_fn(state, batch_data, rng)  # compile
+    fetch(m["loss"])
+    t0 = time.time()
+    for i in range(reps):
+        state, m = step_fn(state, batch_data, jax.random.fold_in(rng, i))
+    fetch(m["loss"])
+    dt = (time.time() - t0) / reps
+    print(f"stage1 train step B={batch}: {1e3 * dt:.1f} ms "
+          f"({batch / dt:.1f} samples/s)")
+
+
+def bench_train2(batch=16, reps=5):
+    """Production stage-2 GAN step (CQTD+MPD, 7-scale mel loss, seg 16384)."""
+    import json
+
+    from diffbinaural_tpu.cli.gan_common import build_discriminators
+    from diffbinaural_tpu.core.config import AttrDict, VocoderConfig
+    from diffbinaural_tpu.losses import MultiScaleMelSpectrogramLoss
+    from diffbinaural_tpu.models.bigvgan import BigVGAN
+    from diffbinaural_tpu.signal import mel_spectrogram
+    from diffbinaural_tpu.train import make_stage2_train_step
+
+    with open("configs/bigvgan_binaural_22khz_80band_256x.json") as f:
+        h = AttrDict(json.load(f))
+    cfg = VocoderConfig.from_attrdict(h)
+    seg = h["segment_size"]
+    mel_frames = seg // h["hop_size"]
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    gen = BigVGAN(cfg, dtype=jnp.bfloat16)
+    mpd, mrd = build_discriminators(h)
+    msl = MultiScaleMelSpectrogramLoss(h["sampling_rate"])
+
+    def mel_fn(wav):
+        return mel_spectrogram(
+            wav, h["n_fft"], h["num_mels"], h["sampling_rate"],
+            h["hop_size"], h["win_size"], h["fmin"], h.get("fmax_for_loss"),
+        )
+
+    rng = jax.random.PRNGKey(0)
+    with jax.default_device(cpu):
+        mel0 = jnp.zeros((1, h["num_mels"], 16))
+        audio0 = jnp.zeros((1, 1, 16 * h["hop_size"]))
+        gen_params = gen.init(rng, mel0)
+        disc_params = {
+            "mpd": mpd.init(rng, audio0, audio0),
+            "mrd": mrd.init(rng, audio0, audio0),
+        }
+    gen_params = jax.device_put(gen_params, tpu)
+    disc_params = jax.device_put(disc_params, tpu)
+
+    init_fn, step_fn = make_stage2_train_step(
+        gen_apply=lambda p, m: gen.apply(p, m),
+        mpd_apply=lambda p, y, yh: mpd.apply(p, y, yh),
+        mrd_apply=lambda p, y, yh: mrd.apply(p, y, yh),
+        mel_fn=mel_fn,
+        multiscale_mel_loss=msl,
+        learning_rate=h["learning_rate"],
+        adam_b1=h["adam_b1"], adam_b2=h["adam_b2"], lr_decay=h["lr_decay"],
+        clip_grad_norm=h.get("clip_grad_norm", 1000.0),
+        lambda_melloss=h.get("lambda_melloss", 45.0),
+        use_multiscale_melloss=h.get("use_multiscale_melloss", False),
+        remat=batch * seg > 16 * 16384,
+    )
+    state = init_fn(gen_params, disc_params)
+    rng_np = np.random.default_rng(0)
+    batch_data = jax.device_put(
+        {
+            "mel": jnp.asarray(
+                rng_np.standard_normal((batch, h["num_mels"], mel_frames)),
+                jnp.float32,
+            ) - 6.0,
+            "audio": 0.1 * jnp.asarray(
+                rng_np.standard_normal((batch, seg)), jnp.float32
+            ),
+            "mel_loss": jnp.zeros((batch, h["num_mels"], mel_frames)),
+        },
+        tpu,
+    )
+
+    state, m = step_fn(state, batch_data)  # compile
+    fetch(m["loss_gen_all"])
+    t0 = time.time()
+    for _ in range(reps):
+        state, m = step_fn(state, batch_data)
+    fetch(m["loss_gen_all"])
+    dt = (time.time() - t0) / reps
+    print(f"stage2 GAN step B={batch}: {1e3 * dt:.0f} ms "
+          f"({batch / dt:.1f} samples/s)")
+
+
+def bench_voc_stages(reps=10):
+    """Per-stage shapes of the production vocoder on a 10 s stereo clip:
+    time ONE fused act and ONE k=3 WN-conv at each stage's (B=2, T, C)."""
+    from diffbinaural_tpu.models import bigvgan as bv
+    from diffbinaural_tpu.ops.alias_free_act import fused_alias_free_snake
+
+    tpu = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    stages = [  # (T, C) after each upsample stage, B=2 (stereo)
+        (3444, 768), (13776, 384), (27552, 192),
+        (55104, 96), (110208, 48), (220416, 24),
+    ]
+    for t, c in stages:
+        x = jax.device_put(
+            jnp.asarray(rng.standard_normal((2, t, c)), jnp.bfloat16), tpu
+        )
+        a = jax.device_put(jnp.zeros((c,)), tpu)
+        b = jax.device_put(jnp.zeros((c,)), tpu)
+
         @jax.jit
-        def loop(x, a_, b_):
+        def act_loop(x, a_, b_):
             def body(carry, i):
-                y = fn(x + carry.astype(x.dtype), a_, b_)
+                y = fused_alias_free_snake(
+                    x + carry.astype(x.dtype), a_, b_, True
+                )
                 return jnp.float32(jnp.sum(y)) * 1e-12, ()
 
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
             return acc
 
-        return loop
+        conv = bv.WNConv1d(c, 3, dilation=3, init_std=0.01, dtype=jnp.bfloat16)
+        cparams = jax.device_put(
+            jax.jit(conv.init, backend="cpu")(jax.random.PRNGKey(0), x), tpu
+        )
 
-    packed = mk_loop(lambda x_, a_, b_: afa.fused_alias_free_snake(
-        x_, a_, b_, True))
-    plain = mk_loop(lambda x_, a_, b_: afa._core(
-        x_, jnp.exp(a_), jnp.exp(b_)))
+        @jax.jit
+        def conv_loop(p, x):
+            def body(carry, i):
+                y = conv.apply(p, x + carry.astype(x.dtype))
+                return jnp.float32(jnp.sum(y)) * 1e-12, ()
 
-    for tag, loop in (("slab-packed", packed), ("lane-padded core", plain)):
-        dt = timed(loop, x, a, b)
-        print(f"act narrow c={c} t={t} {tag}: {1e3 * dt / reps:.3f} ms")
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+            return acc
+
+        dt_a = timed(act_loop, x, a, b)
+        dt_c = timed(conv_loop, cparams, x)
+        print(f"stage T={t:6d} C={c:4d}: act {1e3 * dt_a / reps:7.3f} ms   "
+              f"conv(k3,d3) {1e3 * dt_c / reps:7.3f} ms")
 
 
 if __name__ == "__main__":
@@ -353,6 +550,12 @@ if __name__ == "__main__":
         check_flash_correctness()
     if which in ("vocablate",):
         bench_vocoder_ablate()
+    if which in ("vocstages",):
+        bench_voc_stages()
+    if which in ("train1",):
+        bench_train1()
+    if which in ("train2",):
+        bench_train2()
     if which in ("actnarrow",):
         bench_act_narrow(t=220416, c=24)
         bench_act_narrow(t=110208, c=48)

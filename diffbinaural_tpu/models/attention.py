@@ -86,68 +86,28 @@ def _flash_eligible(n: int) -> bool:
 def _sdpa(q, k, v, scale: float):
     """Scaled dot-product attention over (B, H, N, D) tokens.
 
-    On TPU with long sequences this lowers to the Pallas flash-attention
-    kernel (never materialises the N×N score matrix — at the UNet's
-    80×80 = 6400 tokens the dense f32 scores are 164 MB per (batch, head)
-    and dominate the whole model's runtime; measured 772 → 92 ms per UNet
-    step on v5e).  Lengths not divisible by 128 are zero-padded with
-    segment ids masking the pad keys.  Elsewhere: the dense einsum.
+    On TPU with long sequences this lowers to the d≤128-specialised
+    single-pass Pallas kernel (ops.flash_d32): it never materialises the
+    N×N score matrix — at the UNet's 80×80 = 6400 tokens the dense f32
+    scores are 164 MB per (batch, head) and dominate the whole model's
+    runtime — and, with K/V fully VMEM-resident at d=32, it also drops the
+    generic flash kernel's online-softmax rescales, segment-id masking and
+    pad-to-512 waste (6400 is exactly 50·128): measured 5.96 → 4.8 ms per
+    b=8 h=4 call on v5e (UNet step 19.5 → 17.0 ms), near the d=32 MXU
+    pass-count floor ≈3.4 ms.  Gradients chain into the stock flash backward
+    kernels via the (l, m) residuals.  Elsewhere: the dense einsum.
     """
     n = q.shape[2]
     if _flash_eligible(n):
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes,
-            SegmentIds,
-            flash_attention,
-        )
+        from ..ops.flash_d32 import flash_sdpa
 
-        # Measured on v5e at the UNet's n=6400 b=8 h=4 d=32 (benchmarks/
-        # micro.py attnblocks): the kernel sits exactly at the MXU
-        # pass-count floor 2·(n/128)²·b·h (d=32 keeps every pass at one
-        # contraction/lane tile), so block shape only trims overheads —
-        # block_k spanning the whole (512-padded) sequence removes the
-        # online-softmax rescale loop: 6.55 → 5.96 ms per call.
-        if n >= 4096:
-            n_pad = -(-n // 512) * 512
-        elif n >= 1024:
-            n_pad = -(-n // 512) * 512
-        else:
-            n_pad = -(-n // 128) * 128
         # bf16 q/k/v pass straight through (the kernel accumulates fp32);
         # other dtypes upcast for stability
         dt = v.dtype if v.dtype == jnp.bfloat16 else jnp.float32
-        qf = q.astype(dt)
-        kf = k.astype(dt)
-        vf = v.astype(dt)
-        segment_ids = None
-        if n_pad != n:
-            pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
-            qf = jnp.pad(qf, pad)
-            kf = jnp.pad(kf, pad)
-            vf = jnp.pad(vf, pad)
-            ids = (jnp.arange(n_pad) >= n).astype(jnp.int32)[None, :]
-            ids = jnp.broadcast_to(ids, (q.shape[0], n_pad))
-            segment_ids = SegmentIds(q=ids, kv=ids)
-
-        if n >= 4096:
-            # single k-iteration forward: S strip (256 × n_pad) f32 stays
-            # inside VMEM (6656 → 6.8 MB); bwd blocks stay at 512
-            blk_q, blk_k, blk_d = 256, n_pad, 512
-        elif n_pad % 512 == 0:
-            blk_q = blk_k = blk_d = 512
-        else:
-            blk_q = blk_k = blk_d = 128
-        bs = BlockSizes(
-            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
-            block_q_major_dkv=blk_d, block_k_major_dkv=blk_d,
-            block_k_dkv=blk_d, block_q_dkv=blk_d,
-            block_k_major_dq=blk_d, block_k_dq=blk_d, block_q_dq=blk_d,
+        out = flash_sdpa(
+            q.astype(dt), k.astype(dt), v.astype(dt), scale
         )
-        out = flash_attention(
-            qf, kf, vf, segment_ids=segment_ids, sm_scale=scale,
-            block_sizes=bs,
-        )
-        return out[:, :, :n, :].astype(v.dtype)
+        return out.astype(v.dtype)
     sim = jnp.einsum(
         "bhid,bhjd->bhij", q * scale, k, preferred_element_type=jnp.float32
     )
