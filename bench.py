@@ -109,7 +109,9 @@ def main():
     sync(stage2(voc_params, clip_mels))
 
     # ---- timed runs ------------------------------------------------------
-    n_iters = 3
+    # one host sync per iteration: the device stream is in-order, so the
+    # stage-2 fetch also fences the three stage-1 calls before it
+    n_iters = 5
     inputs = [
         [fresh_inputs() for _ in range(n_batches)] for _ in range(n_iters)
     ]
@@ -120,10 +122,10 @@ def main():
             pred = stage1(
                 unet_params, mono, feat, jax.random.fold_in(key, it * 100 + bi)
             )
-        sync(pred)
         wav = stage2(voc_params, clip_mels + it * 1e-3)
         sync(wav)
     elapsed = (time.time() - t0) / n_iters
+    del pred
 
     clips_per_sec = 1.0 / elapsed
     print(

@@ -368,6 +368,7 @@ def bench_train1(batch=16, reps=5):
 
     init_fn, step_fn = make_stage1_train_step(
         unet_apply=lambda p, x_, t_, c: unet.apply(p, x_, t_, c),
+        donate=False,  # scanned below; donation handled by the scan carry
     )
     state = init_fn(params)
     rng_np = np.random.default_rng(0)
@@ -387,12 +388,26 @@ def bench_train1(batch=16, reps=5):
     )
     rng = jax.random.PRNGKey(0)
 
-    state, m = step_fn(state, batch_data, rng)  # compile
-    fetch(m["loss"])
+    # NOTE: returning the ~1100-leaf train state through the tunneled
+    # backend costs ~2 s of per-array handle overhead PER CALL — scan the
+    # steps inside one jit and return scalars only.  (A real TPU host pays
+    # microseconds here; step_fn itself is unchanged for production.)
+    @jax.jit
+    def run(state, batch_data, rng):
+        def body(st, i):
+            st, m = step_fn(st, batch_data, jax.random.fold_in(rng, i))
+            return st, m["loss"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(reps))
+        # touch every final-state leaf so the last update isn't DCE'd
+        probe = sum(
+            jnp.sum(l) for l in jax.tree_util.tree_leaves(st.params)
+        )
+        return losses.sum() + 0.0 * probe.astype(losses.dtype)
+
+    fetch(run(state, batch_data, rng))  # compile
     t0 = time.time()
-    for i in range(reps):
-        state, m = step_fn(state, batch_data, jax.random.fold_in(rng, i))
-    fetch(m["loss"])
+    fetch(run(state, batch_data, jax.random.fold_in(rng, 999)))
     dt = (time.time() - t0) / reps
     print(f"stage1 train step B={batch}: {1e3 * dt:.1f} ms "
           f"({batch / dt:.1f} samples/s)")
@@ -451,6 +466,7 @@ def bench_train2(batch=16, reps=5):
         lambda_melloss=h.get("lambda_melloss", 45.0),
         use_multiscale_melloss=h.get("use_multiscale_melloss", False),
         remat=batch * seg > 16 * 16384,
+        donate=False,  # scanned below
     )
     state = init_fn(gen_params, disc_params)
     rng_np = np.random.default_rng(0)
@@ -468,12 +484,22 @@ def bench_train2(batch=16, reps=5):
         tpu,
     )
 
-    state, m = step_fn(state, batch_data)  # compile
-    fetch(m["loss_gen_all"])
+    @jax.jit
+    def run(state, batch_data):
+        def body(st, i):
+            st, m = step_fn(st, batch_data)
+            return st, m["loss_gen_all"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(reps))
+        probe = sum(
+            jnp.sum(l)
+            for l in jax.tree_util.tree_leaves((st.gen_params, st.disc_params))
+        )
+        return losses.sum() + 0.0 * probe.astype(losses.dtype)
+
+    fetch(run(state, batch_data))  # compile
     t0 = time.time()
-    for _ in range(reps):
-        state, m = step_fn(state, batch_data)
-    fetch(m["loss_gen_all"])
+    fetch(run(state, batch_data))
     dt = (time.time() - t0) / reps
     print(f"stage2 GAN step B={batch}: {1e3 * dt:.0f} ms "
           f"({batch / dt:.1f} samples/s)")

@@ -156,10 +156,20 @@ def _attn_core_fwd(q, k, v):
     return o, (q, k, v, o, l, m)
 
 
+def _bwd_geometry(n: int):
+    """(n_pad, blk): big blocks keep the stock bwd kernels efficient —
+    640 divides the UNet's 6400 exactly (no padding, no masking);
+    otherwise pad to a 512 multiple and mask with segment ids."""
+    for blk in (640, 512):
+        if n % blk == 0:
+            return n, blk
+    return _round_up(n, 512), 512
+
+
 def _attn_core_bwd(res, do):
     q, k, v, o, l, m = res
     b, h, n, d = q.shape
-    n_pad = _round_up(n, LANE)
+    n_pad, blk = _bwd_geometry(n)
     seg = None
     if n_pad != n:
         pad4 = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
@@ -172,7 +182,6 @@ def _attn_core_bwd(res, do):
         seg = SegmentIds(q=ids, kv=ids)
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    blk = 256 if n_pad % 256 == 0 else LANE
     dk, dv = _flash_attention_bwd_dkv(
         q, k, v, None, seg, l, m, do, di,
         block_q_major=blk, block_q=blk, block_k_major=blk, block_k=blk,
