@@ -24,25 +24,29 @@ so z[t] touches x[t-5 .. t+5]; the input is edge-padded once in HBM, which
 supplies both the tile halos and the reference's replicate-pad boundary
 semantics.
 
-Kernel structure (v2 — replaces the earlier banded-matmul formulation that
-spent ~2100 MACs/element on a 12-wide band):
+Kernel structure (v3):
 
-  * All five FIR stages are 6-tap shifted fused-multiply-adds on the VPU
-    with the taps baked in as compile-time scalars (~90 VPU ops/element
-    total, including the two fp32 snakes on the 2×-rate lattice).
-  * Narrow channel counts are TIME-FOLDED into the lane dimension:
-    (B, T, C) → (B, T/R, R·C) is a free row-major reinterpretation, and a
-    time shift τ becomes a (row-shift, lane-rotation) pair — so C=24 tail
-    stages run with 384 active lanes instead of 24/128.
+  * Two execution modes, chosen by channel count:
+    - **MXU mode** (C ≥ 48): the four FIR stages run as banded matmuls
+      (A_e/A_o: up, D_e/D_o: down) on the otherwise-idle MXU, with the D
+      stage split into two row-halves so the fp32 snake of one half (VPU)
+      overlaps the down-matmul of the other — dependency-driven
+      MXU/VPU pipelining inside each tile.  Channels lane-pad to 128.
+    - **VPU mode** (C = 24 tail stage, where 128-lane padding would waste
+      5.3×): 6-tap shifted fused-multiply-adds with the channel axis
+      TIME-FOLDED into lanes — (B, T, C) → (B, T/R, R·C) is a free
+      row-major reinterpretation, and a time shift τ becomes a
+      (row-shift, lane-rotation) pair, so the stage runs with 384 active
+      lanes.
   * Tiles are overlapping windows materialised by one cheap XLA copy and
     streamed through the kernel by the normal BlockSpec pipeline (automatic
     double buffering), instead of per-program manual DMA.
 
-Both directions are fused: the backward runs the adjoint FIRs (reversed
-taps), the snake local derivatives, and the per-channel α/β partial
-reductions in one kernel.  α/β partials are accumulated only over each
-tile's OWN lattice rows (the earlier kernel also summed halo rows, which
-double-counted tile-seam contributions).
+Both directions are fused: the backward runs the adjoint FIRs (transposed
+banded matrices / reversed taps), the snake local derivatives, and the
+per-channel α/β partial reductions in one kernel.  α/β partials are
+accumulated only over each tile's OWN lattice rows (an earlier kernel also
+summed halo rows, which double-counted tile-seam contributions).
 """
 
 from __future__ import annotations
@@ -97,6 +101,133 @@ def _geometry(c: int):
         return 0, 0, 0, 0
     hy = -(-4 // r)  # ceil(4/R)
     return r, r * c, hy, 8
+
+
+@functools.lru_cache(maxsize=8)
+def _banded_fwd_mats(t_tile: int, HY: int, HR: int):
+    """Banded FIR matrices for the MXU mode (R=1 coordinates):
+
+      y_e = A_e·xw, y_o = A_o·xw   A: (RY, W),  y row u ↔ xw row HR−HY+u+s
+      z   = D_e·mid_e + D_o·mid_o  D: (t_tile, RY), z row t ↔ mid HY+t+δ
+    """
+    we2, wo2, he, ho = _taps()
+    RY = t_tile + 2 * HY
+    W = t_tile + 2 * HR
+    A_e = np.zeros((RY, W), np.float32)
+    A_o = np.zeros((RY, W), np.float32)
+    for u in range(RY):
+        for s in range(-3, 3):
+            A_e[u, HR - HY + u + s] = we2[s + 3]
+        for s in range(-2, 4):
+            A_o[u, HR - HY + u + s] = wo2[s + 2]
+    D_e = np.zeros((t_tile, RY), np.float32)
+    D_o = np.zeros((t_tile, RY), np.float32)
+    for t in range(t_tile):
+        for r in range(6):
+            D_e[t, HY + t + r - 2] = he[r]
+            D_o[t, HY + t + r - 3] = ho[r]
+    return A_e, A_o, D_e, D_o
+
+
+@functools.lru_cache(maxsize=8)
+def _banded_bwd_mats(t_tile: int, HY: int, HR: int):
+    """Adjoint banded matrices:
+
+      dmid_e = B_e·dzw, dmid_o = B_o·dzw   B: (RY, W)
+      dx     = C_e·dy_e + C_o·dy_o         C: (t_tile, RY)
+    """
+    we2, wo2, he, ho = _taps()
+    RY = t_tile + 2 * HY
+    W = t_tile + 2 * HR
+    B_e = np.zeros((RY, W), np.float32)
+    B_o = np.zeros((RY, W), np.float32)
+    for m in range(RY):
+        for r in range(6):
+            B_e[m, HR - HY + m - r + 2] = he[r]
+            B_o[m, HR - HY + m - r + 3] = ho[r]
+    C_e = np.zeros((t_tile, RY), np.float32)
+    C_o = np.zeros((t_tile, RY), np.float32)
+    for t in range(t_tile):
+        for s in range(-3, 3):
+            C_e[t, HY + t - s] = we2[s + 3]
+        for s in range(-2, 4):
+            C_o[t, HY + t - s] = wo2[s + 2]
+    return B_e, B_o, C_e, C_o
+
+
+def _fwd_kernel_mxu(x_ref, alpha_ref, invb_ref, ae_ref, ao_ref,
+                    det_ref, dot_ref, deb_ref, dob_ref, out_ref,
+                    *, t_tile, HY, split_at):
+    """Banded-matmul forward: up-FIR (MXU) → snakeβ per half (VPU) →
+    down-FIR half (MXU), halves forming independent chains so the
+    scheduler overlaps one half's snake with the other's matmul."""
+    xw = x_ref[0, 0]  # (W, chunk) cdt
+    cdt = xw.dtype
+    alpha = alpha_ref[0]
+    inv_beta = invb_ref[0]
+    y_e = jnp.dot(ae_ref[:], xw, preferred_element_type=jnp.float32)
+    y_o = jnp.dot(ao_ref[:], xw, preferred_element_type=jnp.float32)
+
+    def snk(y):
+        return y + inv_beta * jnp.sin(y * alpha) ** 2
+
+    t2 = split_at
+    h1 = t2 + HY + 3        # mid rows needed by the top D half
+    h1b = HY + t2 - 3       # first mid row needed by the bottom half (D_o)
+    me_t = snk(y_e[:h1]).astype(cdt)
+    mo_t = snk(y_o[:h1]).astype(cdt)
+    z_top = jnp.dot(det_ref[:], me_t, preferred_element_type=jnp.float32)
+    z_top = z_top + jnp.dot(dot_ref[:], mo_t,
+                            preferred_element_type=jnp.float32)
+    me_b = snk(y_e[h1b:]).astype(cdt)
+    mo_b = snk(y_o[h1b:]).astype(cdt)
+    z_bot = jnp.dot(deb_ref[:], me_b, preferred_element_type=jnp.float32)
+    z_bot = z_bot + jnp.dot(dob_ref[:], mo_b,
+                            preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.concatenate([z_top, z_bot], axis=0).astype(
+        out_ref.dtype
+    )
+
+
+def _bwd_kernel_mxu(x_ref, dz_ref, alpha_ref, invb_ref,
+                    ae_ref, ao_ref, be_ref, bo_ref, ce_ref, co_ref,
+                    dx_ref, da_ref, db_ref, *, t_tile, HY):
+    xw = x_ref[0, 0]
+    dzw = dz_ref[0, 0]
+    cdt = xw.dtype
+    alpha = alpha_ref[0]
+    inv_beta = invb_ref[0]
+
+    y_e = jnp.dot(ae_ref[:], xw, preferred_element_type=jnp.float32)
+    y_o = jnp.dot(ao_ref[:], xw, preferred_element_type=jnp.float32)
+    dmid_e = jnp.dot(be_ref[:], dzw, preferred_element_type=jnp.float32)
+    dmid_o = jnp.dot(bo_ref[:], dzw, preferred_element_type=jnp.float32)
+
+    def parts(y, dmid):
+        s2 = jnp.sin(2.0 * alpha * y)
+        dy = dmid * (1.0 + alpha * s2 * inv_beta)
+        da = dmid * (y * s2 * inv_beta)
+        db = dmid * (-(jnp.sin(alpha * y) ** 2) * inv_beta * inv_beta)
+        return dy, da, db
+
+    dy_e, da_e, db_e = parts(y_e, dmid_e)
+    dy_o, da_o, db_o = parts(y_o, dmid_o)
+
+    dx = jnp.dot(ce_ref[:], dy_e.astype(cdt),
+                 preferred_element_type=jnp.float32)
+    dx = dx + jnp.dot(co_ref[:], dy_o.astype(cdt),
+                      preferred_element_type=jnp.float32)
+    dx_ref[0, 0] = dx.astype(dx_ref.dtype)
+
+    RY = t_tile + 2 * HY
+    ti = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RY, 1), 0)
+    own_lo = jnp.where(ti == 0, 0, HY)
+    own_hi = jnp.where(ti == n_t - 1, RY, HY + t_tile)
+    own = jnp.logical_and(rows >= own_lo, rows < own_hi)
+    da_ref[0, 0] = jnp.where(own, da_e + da_o, 0.0).sum(axis=0)[None]
+    db_ref[0, 0] = jnp.where(own, db_e + db_o, 0.0).sum(axis=0)[None]
 
 
 def _tshift(arr, tau: int, base: int, rows: int, R: int, C: int):
@@ -207,22 +338,37 @@ def _bwd_kernel(x_ref, dz_ref, alpha_ref, invb_ref,
 
 
 def _plan(x, bwd: bool = False):
-    """Common layout planning: lane padding, fold, window geometry.
-
-    The backward keeps ~2× the live f32 intermediates, so it runs half the
+    """Common layout planning: mode choice, lane padding/fold, window
+    geometry.  MXU mode lane-pads to 128 and runs banded matmuls; VPU mode
+    (narrow C, or tiny T) time-folds channels into lanes.  The VPU
+    backward keeps ~2× the live f32 intermediates, so it runs half the
     forward's row tile to stay inside VMEM."""
     b, t, c = x.shape
-    c_pad = c if _fold_factor(c) else -(-c // LANE) * LANE
-    R, L, HY, HR = _geometry(c_pad)
+    # measured on v5e: banded-MXU wins only at full lane occupancy; any
+    # lane padding (C=192/96/48) loses to the time-folded VPU path
+    mode = "mxu" if c % LANE == 0 else "vpu"
+    if mode == "mxu" and -(-t // 8) * 8 < 16:
+        mode = "vpu"  # too few rows to split the down-FIR halves
+    if mode == "mxu":
+        c_pad = c
+        R, L, HY, HR = 1, c, 4, 8
+        chunk = LANE
+        cap = 512
+    else:
+        c_pad = c if _fold_factor(c) else -(-c // LANE) * LANE
+        R, L, HY, HR = _geometry(c_pad)
+        chunk = L
+        cap = (512 if L <= 384 else 256) // (2 if bwd else 1)
     P = HR * R
     rows_valid = -(-t // R)
-    cap = (512 if L <= 384 else 256) // (2 if bwd else 1)
     t_tile = min(cap, -(-rows_valid // 8) * 8)
     n_t = -(-rows_valid // t_tile)
     total_t = (n_t * t_tile + 2 * HR) * R
     W = t_tile + 2 * HR
+    split_at = (t_tile // 16) * 8 if t_tile >= 16 else t_tile
     return dict(b=b, t=t, c=c, c_pad=c_pad, R=R, L=L, HY=HY, HR=HR, P=P,
-                t_tile=t_tile, n_t=n_t, total_t=total_t, W=W)
+                t_tile=t_tile, n_t=n_t, total_t=total_t, W=W, mode=mode,
+                chunk=chunk, split_at=split_at)
 
 
 def _windows(xp, g):
@@ -275,25 +421,51 @@ def _fused_forward(x: jnp.ndarray, alpha_eff, beta_eff) -> jnp.ndarray:
     xw = _windows(_pad_fold(x.astype(cdt), g, "edge"), g)
     alpha, inv_beta = _lane_params(alpha_eff, beta_eff, g)
 
-    kern = functools.partial(
-        _fwd_kernel, t_tile=g["t_tile"], HY=g["HY"], HR=g["HR"],
-        R=g["R"], C=g["c_pad"],
+    ck = g["chunk"]
+    win_spec = pl.BlockSpec((1, 1, g["W"], ck),
+                            lambda bi, ti, ci: (bi, ti, 0, ci))
+    par_spec = pl.BlockSpec((1, ck), lambda bi, ti, ci: (0, ci))
+    out_spec = pl.BlockSpec((1, 1, g["t_tile"], ck),
+                            lambda bi, ti, ci: (bi, ti, 0, ci))
+    grid = (g["b"], g["n_t"], g["L"] // ck)
+    out_shape = jax.ShapeDtypeStruct(
+        (g["b"], g["n_t"], g["t_tile"], g["L"]), cdt
     )
-    win_spec = pl.BlockSpec((1, 1, g["W"], g["L"]),
-                            lambda bi, ti: (bi, ti, 0, 0))
-    par_spec = pl.BlockSpec((1, g["L"]), lambda bi, ti: (0, 0))
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct(
-            (g["b"], g["n_t"], g["t_tile"], g["L"]), cdt
-        ),
-        grid=(g["b"], g["n_t"]),
-        in_specs=[win_spec, par_spec, par_spec],
-        out_specs=pl.BlockSpec(
-            (1, 1, g["t_tile"], g["L"]), lambda bi, ti: (bi, ti, 0, 0)
-        ),
-        interpret=interpret,
-    )(xw, alpha, inv_beta)
+    const = lambda a: pl.BlockSpec(a.shape, lambda bi, ti, ci: (0, 0))
+
+    if g["mode"] == "mxu":
+        A_e, A_o, D_e, D_o = _banded_fwd_mats(g["t_tile"], g["HY"], g["HR"])
+        t2 = g["split_at"]
+        h1 = t2 + g["HY"] + 3
+        h1b = g["HY"] + t2 - 3
+        mats = [A_e, A_o, D_e[:t2, :h1], D_o[:t2, :h1],
+                D_e[t2:, h1b:], D_o[t2:, h1b:]]
+        mats = [jnp.asarray(m_, cdt) for m_ in mats]
+        kern = functools.partial(
+            _fwd_kernel_mxu, t_tile=g["t_tile"], HY=g["HY"],
+            split_at=t2,
+        )
+        out = pl.pallas_call(
+            kern,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[win_spec, par_spec, par_spec] + [const(m_) for m_ in mats],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(xw, alpha, inv_beta, *mats)
+    else:
+        kern = functools.partial(
+            _fwd_kernel, t_tile=g["t_tile"], HY=g["HY"], HR=g["HR"],
+            R=g["R"], C=g["c_pad"],
+        )
+        out = pl.pallas_call(
+            kern,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[win_spec, par_spec, par_spec],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(xw, alpha, inv_beta)
     return _unfold(out, g, x.dtype)
 
 
@@ -312,32 +484,55 @@ def _fused_backward(x, dz, alpha_eff, beta_eff):
     dzw = _windows(_pad_fold(dz.astype(cdt), g, "constant"), g)
     alpha, inv_beta = _lane_params(alpha_eff, beta_eff, g)
 
-    kern = functools.partial(
-        _bwd_kernel, t_tile=g["t_tile"], HY=g["HY"], HR=g["HR"],
-        R=g["R"], C=g["c_pad"],
+    ck = g["chunk"]
+    win_spec = pl.BlockSpec((1, 1, g["W"], ck),
+                            lambda bi, ti, ci: (bi, ti, 0, ci))
+    par_spec = pl.BlockSpec((1, ck), lambda bi, ti, ci: (0, ci))
+    grid = (g["b"], g["n_t"], g["L"] // ck)
+    out_shapes = (
+        jax.ShapeDtypeStruct((g["b"], g["n_t"], g["t_tile"], g["L"]), cdt),
+        # per-tile α/β partial sums; the unit sublane axis satisfies the
+        # TPU tile rule ("equal to the array dimension" case)
+        jax.ShapeDtypeStruct((g["b"], g["n_t"], 1, g["L"]), jnp.float32),
+        jax.ShapeDtypeStruct((g["b"], g["n_t"], 1, g["L"]), jnp.float32),
     )
-    win_spec = pl.BlockSpec((1, 1, g["W"], g["L"]),
-                            lambda bi, ti: (bi, ti, 0, 0))
-    par_spec = pl.BlockSpec((1, g["L"]), lambda bi, ti: (0, 0))
-    dx, da_p, db_p = pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((g["b"], g["n_t"], g["t_tile"], g["L"]), cdt),
-            # per-tile α/β partial sums; the unit sublane axis satisfies the
-            # TPU tile rule ("equal to the array dimension" case)
-            jax.ShapeDtypeStruct((g["b"], g["n_t"], 1, g["L"]), jnp.float32),
-            jax.ShapeDtypeStruct((g["b"], g["n_t"], 1, g["L"]), jnp.float32),
-        ),
-        grid=(g["b"], g["n_t"]),
-        in_specs=[win_spec, win_spec, par_spec, par_spec],
-        out_specs=(
-            pl.BlockSpec((1, 1, g["t_tile"], g["L"]),
-                         lambda bi, ti: (bi, ti, 0, 0)),
-            pl.BlockSpec((1, 1, 1, g["L"]), lambda bi, ti: (bi, ti, 0, 0)),
-            pl.BlockSpec((1, 1, 1, g["L"]), lambda bi, ti: (bi, ti, 0, 0)),
-        ),
-        interpret=interpret,
-    )(xw, dzw, alpha, inv_beta)
+    out_specs = (
+        pl.BlockSpec((1, 1, g["t_tile"], ck),
+                     lambda bi, ti, ci: (bi, ti, 0, ci)),
+        pl.BlockSpec((1, 1, 1, ck), lambda bi, ti, ci: (bi, ti, 0, ci)),
+        pl.BlockSpec((1, 1, 1, ck), lambda bi, ti, ci: (bi, ti, 0, ci)),
+    )
+    const = lambda a: pl.BlockSpec(a.shape, lambda bi, ti, ci: (0, 0))
+
+    if g["mode"] == "mxu":
+        A_e, A_o, _, _ = _banded_fwd_mats(g["t_tile"], g["HY"], g["HR"])
+        B_e, B_o, C_e, C_o = _banded_bwd_mats(g["t_tile"], g["HY"], g["HR"])
+        mats = [jnp.asarray(m_, cdt) for m_ in (A_e, A_o, B_e, B_o, C_e, C_o)]
+        kern = functools.partial(
+            _bwd_kernel_mxu, t_tile=g["t_tile"], HY=g["HY"],
+        )
+        dx, da_p, db_p = pl.pallas_call(
+            kern,
+            out_shape=out_shapes,
+            grid=grid,
+            in_specs=[win_spec, win_spec, par_spec, par_spec]
+            + [const(m_) for m_ in mats],
+            out_specs=out_specs,
+            interpret=interpret,
+        )(xw, dzw, alpha, inv_beta, *mats)
+    else:
+        kern = functools.partial(
+            _bwd_kernel, t_tile=g["t_tile"], HY=g["HY"], HR=g["HR"],
+            R=g["R"], C=g["c_pad"],
+        )
+        dx, da_p, db_p = pl.pallas_call(
+            kern,
+            out_shape=out_shapes,
+            grid=grid,
+            in_specs=[win_spec, win_spec, par_spec, par_spec],
+            out_specs=out_specs,
+            interpret=interpret,
+        )(xw, dzw, alpha, inv_beta)
 
     dx = _unfold(dx, g, x.dtype)
     # fold the R phase copies and the lane padding back to (C,)
