@@ -363,7 +363,8 @@ def _plan(x, bwd: bool = False):
     rows_valid = -(-t // R)
     t_tile = min(cap, -(-rows_valid // 8) * 8)
     n_t = -(-rows_valid // t_tile)
-    total_t = (n_t * t_tile + 2 * HR) * R
+    # one spare tile of tail rows keeps the strided window views in bounds
+    total_t = ((n_t + 1) * t_tile + 2 * HR) * R
     W = t_tile + 2 * HR
     split_at = (t_tile // 16) * 8 if t_tile >= 16 else t_tile
     return dict(b=b, t=t, c=c, c_pad=c_pad, R=R, L=L, HY=HY, HR=HR, P=P,
@@ -373,13 +374,17 @@ def _plan(x, bwd: bool = False):
 
 def _windows(xp, g):
     """(B, total_rows, L) folded padded input → (B, n_t, W, L) overlapping
-    tile windows (one XLA copy, pipelined into the kernel by BlockSpec)."""
-    xf = xp.reshape(g["b"], g["total_t"] // g["R"], g["L"])
-    return jnp.stack(
-        [xf[:, i * g["t_tile"]: i * g["t_tile"] + g["W"]]
-         for i in range(g["n_t"])],
-        axis=1,
-    )
+    tile windows, built from three strided reshape views (head / main /
+    tail) and ONE XLA concat: window i = rows [i·tt, i·tt+HR) ⊕
+    [HR+i·tt, HR+(i+1)·tt) ⊕ [HR+(i+1)·tt, +HR).  A stack of n_t slices
+    lowers to n_t copies and measurably dominates narrow stages."""
+    b, nt, tt, hr, L = g["b"], g["n_t"], g["t_tile"], g["HR"], g["L"]
+    xf = xp.reshape(b, g["total_t"] // g["R"], L)
+    span = nt * tt
+    head = xf[:, :span].reshape(b, nt, tt, L)[:, :, :hr]
+    main = xf[:, hr: hr + span].reshape(b, nt, tt, L)
+    tail = xf[:, hr + tt: hr + tt + span].reshape(b, nt, tt, L)[:, :, :hr]
+    return jnp.concatenate([head, main, tail], axis=2)
 
 
 def _pad_fold(x, g, mode):
