@@ -1,0 +1,31 @@
+"""Driver entry-point robustness.
+
+Round-1 failure mode: the driver called ``dryrun_multichip`` from a process
+whose default backend was the axon TPU plugin; ``jnp.zeros`` dispatched to
+the (version-mismatched) TPU and the check was recorded FAILED even though
+the sharded logic passes on a CPU mesh. These tests pin both recovery paths.
+"""
+
+import jax
+
+import __graft_entry__ as graft
+
+
+def test_dryrun_inprocess_cpu(capsys):
+    """With a CPU backend live (conftest pins it), runs in-process."""
+    graft.dryrun_multichip(4)
+    out = capsys.readouterr().out
+    assert "dryrun_multichip(4) PASSED" in out
+
+
+def test_dryrun_subprocess_fallback_when_backend_is_tpu(monkeypatch, capsys):
+    """With a non-CPU backend already initialised, re-execs cleanly.
+
+    Simulates the driver environment by forcing ``default_backend`` to
+    report "tpu" — the entry must fall back to a clean subprocess that pins
+    ``jax_platforms=cpu`` before backend init and still PASS.
+    """
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    graft.dryrun_multichip(2)
+    out = capsys.readouterr().out
+    assert "dryrun_multichip(2) PASSED" in out
