@@ -61,29 +61,42 @@ def save_checkpoint(path: str, pytree: Any, backend: str = "msgpack"):
 
 
 def _orbax_save(path: str, pytree: Any):
+    """Crash-safe overwrite: save to a sibling temp dir, then atomically
+    swap it over the old checkpoint — the previous checkpoint survives any
+    crash before the rename (matching the msgpack tmp+os.replace path)."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    if os.path.isdir(path):
-        import shutil
-
-        shutil.rmtree(path)  # same overwrite semantics as the msgpack file
+    tmp = path + ".ocp-tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, __np(pytree))
+        # store the *state dict* (nested string-keyed dicts) so restore can
+        # conform by name to any target, incl. flax dataclasses
+        ckptr.save(tmp, serialization.to_state_dict(__np(pytree)))
+    old = path + ".ocp-old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def _orbax_load(path: str, target: Optional[Any] = None) -> Any:
-    import jax
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.abspath(path))
     if target is not None:
-        # conform to the target's structure (lists/tuples/dataclass leaves),
-        # mirroring flax.serialization.from_bytes(target, ...)
-        flat = jax.tree_util.tree_leaves(restored)
-        treedef = jax.tree_util.tree_structure(target)
-        return jax.tree_util.tree_unflatten(treedef, flat)
+        # name-based conformation (handles dataclasses / key order), same
+        # semantics as the msgpack path's from_bytes — an order-based
+        # tree_unflatten would silently misassign leaves whenever the
+        # target's flatten order differs from the restored dict's
+        return serialization.from_state_dict(target, restored)
     return restored
 
 

@@ -30,12 +30,27 @@ import numpy as np
 
 CONTEXT_LENGTH = 77
 
-# clip uses \p{L}/\p{N} via the third-party `regex` module; stdlib `re`
-# equivalents: [^\W\d_] = letters, \d = digits (both unicode-aware)
-_WORD_RE = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+",
-    re.IGNORECASE | re.UNICODE,
-)
+# The published bpe_simple_vocab_16e6.txt.gz holds more merge lines than the
+# tokenizer uses; clip's SimpleTokenizer slices to exactly this many so the
+# vocab lands at 49408 with sot/eot at 49406/49407.
+N_CLIP_MERGES = 49152 - 256 - 2  # 48894
+CLIP_VOCAB_SIZE = 512 + N_CLIP_MERGES + 2  # 49408
+
+try:  # exact \p{L}/\p{N} semantics (clip uses the third-party regex module)
+    import regex as _regex
+
+    _WORD_RE = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # stdlib approximation: [^\W\d_] = letters, \d = digits;
+    # the catch-all branch must still consume '_' (\w but not \p{L}/\p{N})
+    _WORD_RE = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
+        re.IGNORECASE | re.UNICODE,
+    )
 
 
 @functools.lru_cache(maxsize=1)
@@ -70,17 +85,25 @@ class SimpleTokenizer:
 
     ``merges``: path to the merges file, or an in-memory list of
     ``(first, second)`` pairs (tests use a tiny synthetic list).
+
+    ``clip_layout``: pad the vocab with inert placeholder tokens so it has
+    exactly the published CLIP layout (49408 entries, sot/eot at
+    49406/49407) even when fewer than 48894 merges are supplied.  File
+    loads always use the published layout (and slice extra merge lines the
+    way clip's SimpleTokenizer does).
     """
 
-    def __init__(self, merges):
+    def __init__(self, merges, clip_layout: bool = False):
         if isinstance(merges, (str, bytes)):
             opener = gzip.open if str(merges).endswith(".gz") else open
             with opener(merges, "rt", encoding="utf-8") as f:
                 lines = f.read().split("\n")
-            # published file: header line + merges; slice matches clip's
+            # published file: header line + more merges than used; clip
+            # slices to exactly N_CLIP_MERGES (vocab 49408, fixed sot/eot)
             pairs = [
                 tuple(line.split()) for line in lines[1:] if len(line.split()) == 2
-            ]
+            ][:N_CLIP_MERGES]
+            clip_layout = True
         else:
             pairs = [tuple(m) for m in merges]
         self.byte_encoder = bytes_to_unicode()
@@ -88,6 +111,13 @@ class SimpleTokenizer:
         vocab: List[str] = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]
         vocab.extend("".join(m) for m in pairs)
+        if clip_layout:
+            assert len(pairs) <= N_CLIP_MERGES, len(pairs)
+            # inert placeholders: never produced by encode(), only there so
+            # byte-token ids and sot/eot match the published vocab exactly
+            vocab.extend(
+                f"<|unused{i}|>" for i in range(N_CLIP_MERGES - len(pairs))
+            )
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
         self.encoder = {tok: i for i, tok in enumerate(vocab)}
         self.decoder = {i: tok for tok, i in self.encoder.items()}
@@ -102,6 +132,22 @@ class SimpleTokenizer:
     @property
     def vocab_size(self) -> int:
         return len(self.encoder)
+
+    @classmethod
+    def default(cls) -> "SimpleTokenizer":
+        """Merges-free tokenizer in the published CLIP vocab layout.
+
+        Usable out of the box without the (unshippable, license-bound)
+        bpe_simple_vocab_16e6.txt.gz: every id it emits is *id-compatible*
+        with the published vocab, because CLIP's layout places the 512
+        byte-level symbols at ids 0..511 and sot/eot at 49406/49407
+        regardless of the merge table.  Words that the published tokenizer
+        would compress into merged tokens are emitted as their byte-level
+        decomposition instead — a valid (if longer) encoding that pretrained
+        text towers also saw during training for rare words.  For exact
+        parity with clip.tokenize, construct with the published merges file.
+        """
+        return cls([], clip_layout=True)
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -150,10 +196,15 @@ class SimpleTokenizer:
 
     def decode(self, ids: Sequence[int]) -> str:
         text = "".join(self.decoder[i] for i in ids)
+        # byte-decode FIRST, then turn the literal "</w>" markers into
+        # spaces (clip's order; the reverse drops the spaces, since ' ' is
+        # not a byte-alphabet symbol)
         raw = bytearray(
-            self.byte_decoder[c] for c in text.replace("</w>", " ") if c in self.byte_decoder
+            self.byte_decoder[c] for c in text if c in self.byte_decoder
         )
-        return raw.decode("utf-8", errors="replace").strip()
+        return (
+            raw.decode("utf-8", errors="replace").replace("</w>", " ").strip()
+        )
 
     def tokenize(
         self,

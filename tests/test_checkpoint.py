@@ -170,6 +170,66 @@ def test_orbax_backend_roundtrip(tmp_path):
     np.testing.assert_array_equal(ckpt.load_checkpoint(path)["w"], tree["w"])
 
 
+def test_orbax_restore_conforms_by_name_not_order(tmp_path):
+    """A dataclass target whose flatten order differs from sorted-key order
+    must restore correctly — order-based tree_unflatten would silently swap
+    the leaves here."""
+    import flax.struct
+
+    from diffbinaural_tpu.core import checkpoint as ckpt
+
+    @flax.struct.dataclass
+    class State:
+        zeta: np.ndarray  # field order (zeta, alpha) != sorted (alpha, zeta)
+        alpha: np.ndarray
+
+    state = State(
+        zeta=np.full((2, 2), 7.0, np.float32),
+        alpha=np.arange(3, dtype=np.float32),
+    )
+    path = str(tmp_path / "state_ckpt")
+    ckpt.save_checkpoint(path, state, backend="orbax")
+    target = State(
+        zeta=np.zeros((2, 2), np.float32), alpha=np.zeros(3, np.float32)
+    )
+    restored = ckpt.load_checkpoint(path, target)
+    np.testing.assert_array_equal(restored.zeta, state.zeta)
+    np.testing.assert_array_equal(restored.alpha, state.alpha)
+
+
+def test_orbax_overwrite_is_crash_safe(tmp_path, monkeypatch):
+    """A save that dies mid-write must leave the previous checkpoint
+    loadable (tmp-dir + rename semantics, like the msgpack path)."""
+    import orbax.checkpoint as ocp
+
+    from diffbinaural_tpu.core import checkpoint as ckpt
+
+    tree = {"w": np.ones(4, np.float32)}
+    path = str(tmp_path / "ck")
+    ckpt.save_checkpoint(path, tree, backend="orbax")
+
+    class Boom(Exception):
+        pass
+
+    class FailingCkptr:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def save(self, *a, **k):
+            raise Boom()
+
+    monkeypatch.setattr(ocp, "PyTreeCheckpointer", FailingCkptr)
+    import pytest
+
+    with pytest.raises(Boom):
+        ckpt.save_checkpoint(path, {"w": np.zeros(4)}, backend="orbax")
+    monkeypatch.undo()  # restore the real checkpointer for the load
+    np.testing.assert_array_equal(ckpt.load_checkpoint(path)["w"], tree["w"])
+
+
 def test_unknown_backend_raises(tmp_path):
     from diffbinaural_tpu.core import checkpoint as ckpt
 

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 from diffbinaural_tpu.data.clip_tokenizer import (
+    CLIP_VOCAB_SIZE,
+    N_CLIP_MERGES,
     SimpleTokenizer,
     bytes_to_unicode,
 )
@@ -84,3 +86,46 @@ def test_merges_file_format(tmp_path):
         f.write("\n".join(lines))
     tok = SimpleTokenizer(str(path))
     assert tok.encode("hello") == [tok.encoder["hello</w>"]]
+    # file loads always use the published layout: vocab padded to 49408
+    # with sot/eot at the published ids
+    assert tok.vocab_size == CLIP_VOCAB_SIZE
+    assert (tok.sot, tok.eot) == (49406, 49407)
+
+
+def test_merges_file_truncates_to_clip_count(tmp_path):
+    """The published file has more merge lines than clip uses; loading must
+    slice to 48894 so the vocab stays 49408 with the published sot/eot ids
+    (extra merges would silently shift every special id otherwise)."""
+    path = tmp_path / "merges.txt"
+    extra = [f"x{i} y{i}" for i in range(N_CLIP_MERGES + 50)]
+    path.write_text("\n".join(["#version: big"] + extra), encoding="utf-8")
+    tok = SimpleTokenizer(str(path))
+    assert tok.vocab_size == CLIP_VOCAB_SIZE
+    assert (tok.sot, tok.eot) == (49406, 49407)
+    assert len(tok.bpe_ranks) == N_CLIP_MERGES
+
+
+def test_default_tokenizer_published_layout_golden_ids():
+    """Merges-free default: byte-token ids are id-compatible with the
+    published CLIP vocab (bytes at 0..511, sot/eot 49406/49407)."""
+    tok = SimpleTokenizer.default()
+    assert tok.vocab_size == CLIP_VOCAB_SIZE
+    assert (tok.sot, tok.eot) == (49406, 49407)
+    ids = tok.encode("a photo of a dog")
+    assert ids == [320, 79, 71, 78, 83, 334, 78, 325, 320, 67, 78, 326]
+    assert tok.decode(ids) == "a photo of a dog"
+    arr = tok.tokenize("a photo of a dog")
+    assert arr.shape == (1, 77)
+    assert arr[0, 0] == 49406 and arr[0, 13] == 49407
+
+
+def test_underscore_and_unicode_numbers_not_dropped():
+    """'_' is \\w but not \\p{L}/\\p{N} — CLIP's catch-all branch consumes
+    it; it must not vanish from the byte stream. Non-decimal number chars
+    (\\p{N} beyond \\d) tokenize as single number tokens."""
+    tok = SimpleTokenizer.default()
+    with_us = tok.encode("snake_case")
+    without = tok.encode("snakecase")
+    assert with_us != without
+    assert tok.decode(with_us).replace(" ", "") == "snake_case"
+    assert tok.encode("①") != []
