@@ -51,6 +51,7 @@ def make_stage1_train_step(
     b2: float = 0.999,
     weight_decay: float = 1e-2,
     clip_norm: float = 1.0,
+    clip_value: Optional[float] = None,
     cfg: bool = True,
     donate: bool = True,
 ):
@@ -66,9 +67,14 @@ def make_stage1_train_step(
         loss_type="l1", objective="pred_noise", beta_schedule="cosine",
         auto_normalize=False,
     )
-    # AdamW = clip → adam moments → decoupled weight decay → per-group LR
+    # AdamW = clip → adam moments → decoupled weight decay → per-group LR.
+    # clip_value mirrors GradientStabilizer's optional clip_grad_value_
+    # (training_stabilizer.py:42-43, applied after the norm clip); the
+    # reference's shipped TrainingStabilizer leaves it None (:176), so the
+    # default here is also off.
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
+        *([optax.clip(clip_value)] if clip_value is not None else []),
         optax.scale_by_adam(b1=b1, b2=b2),
         optax.add_decayed_weights(weight_decay),
     )

@@ -44,6 +44,41 @@ def test_stage1_train_step_reduces_loss():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_stage1_clip_value_bounds_updates():
+    """Optional clip-by-value (GradientStabilizer's clip_grad_value_,
+    default-off like the reference's shipped façade): with a tiny clip the
+    pre-LR update magnitude is bounded and the step still runs finite."""
+    size = 16
+    unet = AudioVisualModel(dim=16)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 2, size, size))
+    cond = (jnp.zeros((1, 1, size, size)), jnp.zeros((1, 512)),
+            jnp.zeros((1, 2, size, size)))
+    params = {"unet": unet.init(rng, x, jnp.zeros((1,), jnp.int32), cond)}
+    diffusion = GaussianDiffusion(image_size=size, timesteps=50,
+                                  sampling_timesteps=5, auto_normalize=False)
+    batch = {
+        "mono_mel": jnp.ones((1, 1, size, size)),
+        "binaural_mel": jnp.ones((1, 2, size, size)),
+        "feat": jnp.ones((1, 512)),
+    }
+    outs = {}
+    for cv in (None, 1e-8):
+        init_fn, step_fn = make_stage1_train_step(
+            unet_apply=lambda p, x_, t_, c: unet.apply(p, x_, t_, c),
+            diffusion=diffusion, clip_value=cv, weight_decay=0.0,
+            donate=False,
+        )
+        state, m = step_fn(init_fn(params), batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(m["loss"]))
+        outs[cv] = state.params
+    # the value clip must actually change the update
+    a = jax.tree_util.tree_leaves(outs[None])
+    b_ = jax.tree_util.tree_leaves(outs[1e-8])
+    assert any(not np.allclose(np.asarray(x1), np.asarray(x2))
+               for x1, x2 in zip(a, b_))
+
+
 def test_lr_scale_changes_updates_without_recompile():
     size = 16
     unet = AudioVisualModel(dim=16)
