@@ -139,8 +139,29 @@ class Stage1Trainer:
             rng, target, jnp.zeros((1,), jnp.int32),
             (mel, jnp.zeros((1, 512)), jnp.zeros_like(target)),
         )
+        frame_params = self._maybe_load_frame_weights(frame_params)
         params = {"frame": frame_params, "unet": unet_params}
         self.state = self._init_fn(params)
+
+    def _maybe_load_frame_weights(self, frame_params):
+        """--weights_frame warm start (reference models.py:10-35 loads
+        ``weights`` into the encoder; for resnet18 the reference trunk is
+        additionally torchvision-``pretrained=True`` — a torchvision state
+        dict given here grafts onto the trunk the same way)."""
+        path = getattr(self.args, "weights_frame", "")
+        if not path or not os.path.exists(path):
+            return frame_params
+        from ..core import checkpoint as ckpt
+
+        if (
+            self.args.arch_frame == "resnet18"
+            and path.endswith((".pth", ".pt"))
+            and ckpt.is_torchvision_resnet18_sd(path)
+        ):
+            print(f"grafting torchvision resnet18 weights from {path}")
+            return ckpt.graft_resnet18_trunk(frame_params, path)
+        print(f"loading frame-encoder checkpoint {path}")
+        return ckpt.load_checkpoint(path, target=frame_params)
 
     def _prep_batch(self, batch) -> Dict:
         out = {

@@ -344,6 +344,70 @@ def import_torch_clip(path_or_sd) -> Dict:
     }
 
 
+def import_torch_resnet18(path_or_sd) -> Dict:
+    """torchvision resnet18 state dict → ResNet18Trunk params.
+
+    The reference's default encoder wraps a *pretrained* frozen torchvision
+    ResNet18 (/root/reference/DiffBinaural/modules/networks.py:30-43,
+    ``pretrained=True`` at :33); this shim lets the same weights drive our
+    flax trunk.  Layout: torch Conv2d (out, in, kh, kw) → flax (kh, kw, in,
+    out); BatchNorm running stats land in FrozenBN's (scale, bias, mean,
+    var).  The ``fc`` head is dropped (the trunk global-pools to 512).
+    """
+    sd = _load_torch_state_dict(path_or_sd)
+
+    def conv(k):
+        return {"kernel": sd[f"{k}.weight"].transpose(2, 3, 1, 0).astype(
+            np.float32
+        )}
+
+    def bn(k):
+        return {
+            "scale": sd[f"{k}.weight"].astype(np.float32),
+            "bias": sd[f"{k}.bias"].astype(np.float32),
+            "mean": sd[f"{k}.running_mean"].astype(np.float32),
+            "var": sd[f"{k}.running_var"].astype(np.float32),
+        }
+
+    params: Dict[str, Any] = {"conv1": conv("conv1"), "bn1": bn("bn1")}
+    # torchvision layer{1..4} × block{0,1} → our flat block_{0..7}
+    for layer in range(1, 5):
+        for b in range(2):
+            i = (layer - 1) * 2 + b
+            src = f"layer{layer}.{b}"
+            blk = {
+                "conv1": conv(f"{src}.conv1"),
+                "bn1": bn(f"{src}.bn1"),
+                "conv2": conv(f"{src}.conv2"),
+                "bn2": bn(f"{src}.bn2"),
+            }
+            if f"{src}.downsample.0.weight" in sd:
+                blk["down_conv"] = conv(f"{src}.downsample.0")
+                blk["down_bn"] = bn(f"{src}.downsample.1")
+            params[f"block_{i}"] = blk
+    return {"params": params}
+
+
+def is_torchvision_resnet18_sd(path_or_sd) -> bool:
+    """Heuristic: does this torch checkpoint hold torchvision resnet18
+    weights (vs one of our own frame-encoder checkpoints)?"""
+    try:
+        sd = _load_torch_state_dict(path_or_sd)
+    except Exception:
+        return False
+    return "layer1.0.conv1.weight" in sd and "conv1.weight" in sd
+
+
+def graft_resnet18_trunk(frame_variables: Dict, path_or_sd) -> Dict:
+    """Insert imported torchvision weights at the ResnetEncoder's
+    ``features`` trunk, leaving the transformer mixer untouched."""
+    imported = import_torch_resnet18(path_or_sd)["params"]
+    out = dict(frame_variables)
+    out["params"] = dict(frame_variables["params"])
+    out["params"]["features"] = imported
+    return out
+
+
 def save_pretrained(save_directory: str, params: Dict, config) -> None:
     """Hub-style local save — the reference generator's
     PyTorchModelHubMixin surface (/root/reference/BigVGAN/bigvgan.py:403-493):

@@ -706,13 +706,16 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
+        # torch padding=1 explicitly: for stride 2, "SAME" would pad (0,1)
+        # and shift every window center off torchvision's by one pixel
         h = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
-            padding="SAME", use_bias=False, dtype=self.dtype, name="conv1",
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+            name="conv1",
         )(x)
         h = nn.relu(FrozenBN(self.features, name="bn1")(h))
         h = nn.Conv(
-            self.features, (3, 3), padding="SAME", use_bias=False,
+            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             dtype=self.dtype, name="conv2",
         )(h)
         h = FrozenBN(self.features, name="bn2")(h)

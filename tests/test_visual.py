@@ -268,3 +268,125 @@ def test_clip_text_torch_import_matches_torch():
     model = CLIPTextTransformer(TINY_TEXT)
     got = np.asarray(model.apply(params, jnp.asarray(toks_np.astype(np.int32))))
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# ResNet18 torchvision import
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_resnet18_sd(rng):
+    """Random weights in torchvision resnet18's exact state-dict layout."""
+    r = lambda *s: rng.standard_normal(s).astype(np.float32) * 0.05
+
+    def bn(c):
+        return {
+            "weight": 1 + r(c),
+            "bias": r(c),
+            "running_mean": r(c),
+            "running_var": rng.uniform(0.5, 1.5, c).astype(np.float32),
+        }
+
+    sd = {"conv1.weight": r(64, 3, 7, 7), "fc.weight": r(1000, 512),
+          "fc.bias": r(1000)}
+    for k, v in bn(64).items():
+        sd[f"bn1.{k}"] = v
+    cins = {1: (64, 64), 2: (64, 128), 3: (128, 256), 4: (256, 512)}
+    for layer in range(1, 5):
+        cin, cout = cins[layer]
+        for b in range(2):
+            src = f"layer{layer}.{b}"
+            ci = cin if b == 0 else cout
+            sd[f"{src}.conv1.weight"] = r(cout, ci, 3, 3)
+            sd[f"{src}.conv2.weight"] = r(cout, cout, 3, 3)
+            for k, v in bn(cout).items():
+                sd[f"{src}.bn1.{k}"] = v
+            for k, v in bn(cout).items():
+                sd[f"{src}.bn2.{k}"] = v
+            if b == 0 and layer > 1:
+                sd[f"{src}.downsample.0.weight"] = r(cout, ci, 1, 1)
+                for k, v in bn(cout).items():
+                    sd[f"{src}.downsample.1.{k}"] = v
+    return sd
+
+
+def _torch_resnet18_forward(sd, x_np):
+    """Eval-mode torchvision resnet18 trunk, written functionally from the
+    state dict (independent oracle; fc head dropped, global avg pool)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy
+    conv = lambda x, k, s=1, p=0: F.conv2d(
+        x, t(sd[k + ".weight"]), stride=s, padding=p
+    )
+    bn = lambda x, k: F.batch_norm(
+        x, t(sd[k + ".running_mean"]), t(sd[k + ".running_var"]),
+        t(sd[k + ".weight"]), t(sd[k + ".bias"]), training=False, eps=1e-5,
+    )
+    with torch.no_grad():
+        x = F.relu(bn(conv(t(x_np), "conv1", 2, 3), "bn1"))
+        x = F.max_pool2d(x, 3, 2, 1)
+        for layer in range(1, 5):
+            for b in range(2):
+                src = f"layer{layer}.{b}"
+                stride = 2 if (layer > 1 and b == 0) else 1
+                idn = x
+                h = F.relu(bn(conv(x, f"{src}.conv1", stride, 1), f"{src}.bn1"))
+                h = bn(conv(h, f"{src}.conv2", 1, 1), f"{src}.bn2")
+                if f"{src}.downsample.0.weight" in sd:
+                    idn = bn(
+                        conv(x, f"{src}.downsample.0", stride, 0),
+                        f"{src}.downsample.1",
+                    )
+                x = F.relu(h + idn)
+        return x.mean((2, 3)).numpy()
+
+
+def test_resnet18_torch_import_matches_torch():
+    """import_torch_resnet18 + ResNet18Trunk reproduce eval-mode torchvision
+    resnet18 (the reference's pretrained frozen trunk, networks.py:30-43)."""
+    from diffbinaural_tpu.core.checkpoint import (
+        import_torch_resnet18,
+        is_torchvision_resnet18_sd,
+    )
+    from diffbinaural_tpu.models.visual import ResNet18Trunk
+
+    rng = np.random.default_rng(7)
+    sd = _synthetic_resnet18_sd(rng)
+    assert is_torchvision_resnet18_sd(sd)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    expected = _torch_resnet18_forward(sd, x)
+
+    params = import_torch_resnet18(sd)
+    got = np.asarray(ResNet18Trunk().apply(params, jnp.asarray(x)))
+    assert got.shape == (2, 512)
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+def test_resnet18_graft_into_encoder():
+    """graft_resnet18_trunk swaps only the trunk; the encoder still runs and
+    its output depends on the grafted weights."""
+    from diffbinaural_tpu.core.checkpoint import graft_resnet18_trunk
+    from diffbinaural_tpu.models.visual import ResnetEncoder
+
+    rng = np.random.default_rng(1)
+    enc = ResnetEncoder()
+    x = jnp.asarray(rng.standard_normal((1, 3, 2, 32, 32)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    out0 = enc.apply(variables, x)
+
+    grafted = graft_resnet18_trunk(variables, _synthetic_resnet18_sd(rng))
+    out1 = enc.apply(grafted, x)
+    assert out1.shape == (1, 512)
+    assert np.isfinite(np.asarray(out1)).all()
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+    # mixer params untouched
+    a = variables["params"]["encoder"]
+    b = grafted["params"]["encoder"]
+    assert all(
+        np.array_equal(x1, x2)
+        for x1, x2 in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        )
+    )
