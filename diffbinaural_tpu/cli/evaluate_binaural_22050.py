@@ -22,11 +22,15 @@ def main(argv=None):
     parser.add_argument("--sr", default=22050, type=int)
     parser.add_argument("--skip_bss", action="store_true",
                         help="skip the (slow) SDR/SIR/SAR computation")
+    parser.add_argument("--pesq", action="store_true",
+                        help="add the from-scratch P.862-style MOS "
+                             "(evaluation/pesq.py; the reference imports "
+                             "pesq but never calls it)")
     a = parser.parse_args(argv)
 
     summary = evaluate_binaural_dirs(
         a.generated_dir, a.gt_dir, a.output_csv, sr=a.sr,
-        compute_bss=not a.skip_bss,
+        compute_bss=not a.skip_bss, compute_pesq=a.pesq,
     )
     print("\n==== summary ====")
     for k, s in summary.items():

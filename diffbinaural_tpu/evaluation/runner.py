@@ -33,8 +33,8 @@ TRIM_SAMPLES = 8 * 256  # (:735-736)
 
 
 def evaluate_binaural_pair(pred: np.ndarray, gt: np.ndarray,
-                           sr: int = 22050, compute_bss: bool = True
-                           ) -> Dict[str, float]:
+                           sr: int = 22050, compute_bss: bool = True,
+                           compute_pesq: bool = False) -> Dict[str, float]:
     """pred/gt: (2, T) float arrays, already trimmed."""
     n = min(pred.shape[1], gt.shape[1])
     pred, gt = pred[:, :n], gt[:, :n]
@@ -59,6 +59,10 @@ def evaluate_binaural_pair(pred: np.ndarray, gt: np.ndarray,
     if compute_bss:
         sar, sir, sdr = compute_sar_sir_sdr(pred, gt)
         out.update({"sar": sar, "sir": sir, "sdr": sdr})
+    if compute_pesq:
+        from .pesq import pesq_binaural
+
+        out["pesq_mos"] = pesq_binaural(pred, gt, sr)
     return out
 
 
@@ -68,6 +72,7 @@ def evaluate_binaural_dirs(
     output_csv: Optional[str] = None,
     sr: int = 22050,
     compute_bss: bool = True,
+    compute_pesq: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     rows: List[Dict] = []
     pattern = os.path.join(generated_dir, "*_binaural_generated.wav")
@@ -87,7 +92,7 @@ def evaluate_binaural_dirs(
             gt = np.stack([gt, gt])
         pred = pred[:, TRIM_SAMPLES : pred.shape[1] - TRIM_SAMPLES]
         gt = gt[:, TRIM_SAMPLES : gt.shape[1] - TRIM_SAMPLES]
-        res = evaluate_binaural_pair(pred, gt, sr, compute_bss)
+        res = evaluate_binaural_pair(pred, gt, sr, compute_bss, compute_pesq)
         res["file"] = base
         rows.append(res)
         print(f"{base}: stft_rmse={res['stft_rmse']:.4f} "

@@ -126,3 +126,56 @@ def test_full_battery_runs():
         assert np.isfinite(v), k
     assert res["mel_rmse"] < 0.5
     assert res["snr_db"] > 15
+
+
+# ---------------------------------------------------------------------------
+# P.862-style PESQ
+# ---------------------------------------------------------------------------
+
+
+def _speechy(sr, seconds=3.0, seed=0):
+    t = np.arange(int(sr * seconds)) / sr
+    return (0.3 * np.sin(2 * np.pi * 220 * t) * np.sin(2 * np.pi * 3 * t)
+            + 0.1 * np.sin(2 * np.pi * 700 * t)).astype(np.float64)
+
+
+def test_pesq_identical_is_max_and_monotone_in_snr():
+    from diffbinaural_tpu.evaluation.pesq import pesq_style_mos
+
+    sr = 22050
+    clean = _speechy(sr)
+    top = pesq_style_mos(clean, clean, sr)
+    assert top > 4.6  # saturates at the wideband-mapping maximum
+    rng = np.random.default_rng(0)
+    scores = []
+    for snr_db in (40, 20, 10, 0):
+        noise = rng.standard_normal(len(clean))
+        noise *= np.sqrt((clean ** 2).mean() / (noise ** 2).mean()) * (
+            10 ** (-snr_db / 20)
+        )
+        scores.append(pesq_style_mos(clean, clean + noise, sr))
+    assert all(a > b for a, b in zip([top] + scores, scores))
+    assert scores[0] > 4.0  # 40 dB: near-transparent
+    assert scores[-1] < 1.6  # 0 dB: bad
+
+
+def test_pesq_tolerates_small_misalignment():
+    from diffbinaural_tpu.evaluation.pesq import pesq_style_mos
+
+    sr = 22050
+    clean = _speechy(sr)
+    shifted = np.r_[np.zeros(100), clean][: len(clean)]
+    assert pesq_style_mos(clean, shifted, sr) > 4.3
+
+
+def test_runner_pesq_key():
+    from diffbinaural_tpu.evaluation.runner import evaluate_binaural_pair
+
+    sr = 22050
+    clean = _speechy(sr)
+    st = np.stack([clean, 0.8 * clean])
+    res = evaluate_binaural_pair(st, st, sr, compute_bss=False,
+                                 compute_pesq=True)
+    assert res["pesq_mos"] > 4.6
+    res2 = evaluate_binaural_pair(st, st, sr, compute_bss=False)
+    assert "pesq_mos" not in res2
