@@ -127,19 +127,33 @@ def make_stage2_train_step(
             ) * (lambda_melloss * 0.2)
             loss_mel = base + silence
 
-        rs_f, gs_f, fm_fr, fm_fg = mpd_apply(disc_params["mpd"], y, y_g_hat)
-        loss_fm_f = feature_loss(jax.lax.stop_gradient(fm_fr), fm_fg)
-        loss_gen_f, _ = generator_loss(gs_f)
-        rs_s, gs_s, fm_sr, fm_sg = mrd_apply(disc_params["mrd"], y, y_g_hat)
-        loss_fm_s = feature_loss(jax.lax.stop_gradient(fm_sr), fm_sg)
-        loss_gen_s, _ = generator_loss(gs_s)
+        def adv_fn(y_g_hat):
+            _, gs_f, fm_fr, fm_fg = mpd_apply(disc_params["mpd"], y, y_g_hat)
+            loss_fm_f = feature_loss(jax.lax.stop_gradient(fm_fr), fm_fg)
+            loss_gen_f, _ = generator_loss(gs_f)
+            _, gs_s, fm_sr, fm_sg = mrd_apply(disc_params["mrd"], y, y_g_hat)
+            loss_fm_s = feature_loss(jax.lax.stop_gradient(fm_sr), fm_sg)
+            loss_gen_s, _ = generator_loss(gs_s)
+            adv = loss_gen_s + loss_gen_f + loss_fm_s + loss_fm_f
+            return adv, loss_gen_f + loss_gen_s, loss_fm_f + loss_fm_s
 
-        adv = loss_gen_s + loss_gen_f + loss_fm_s + loss_fm_f
-        total = jnp.where(frozen, loss_mel, adv + loss_mel)
+        if freeze_step == 0:
+            adv, loss_gen, loss_fm = adv_fn(y_g_hat)
+        else:
+            # during the freeze the reference's G loss is regression-only
+            # (:1088-1095); lax.cond skips the two discriminator towers'
+            # forward+backward instead of computing-then-zeroing them
+            adv, loss_gen, loss_fm = jax.lax.cond(
+                frozen,
+                lambda _yh: (jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+                adv_fn,
+                y_g_hat,
+            )
+        total = adv + loss_mel
         aux = {
             "loss_mel": loss_mel,
-            "loss_gen": loss_gen_f + loss_gen_s,
-            "loss_fm": loss_fm_f + loss_fm_s,
+            "loss_gen": loss_gen,
+            "loss_fm": loss_fm,
             "y_g_hat": y_g_hat,
         }
         return total, aux
@@ -153,23 +167,32 @@ def make_stage2_train_step(
         y_hat_sg = jax.lax.stop_gradient(
             gen_apply(state.gen_params, batch["mel"])
         )
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
-            state.disc_params, y, y_hat_sg
-        )
-        d_updates, disc_opt = tx_d.update(
-            d_grads, state.disc_opt, state.disc_params
-        )
-        d_updates = jax.tree_util.tree_map(
-            lambda u: jnp.where(frozen, 0.0, -lr * u), d_updates
-        )
-        disc_params = optax.apply_updates(state.disc_params, d_updates)
-        # keep optimizer moments untouched during the freeze, like torch
-        # (optim_d.step() simply not called, :1053-1058)
-        disc_opt = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(frozen, old, new),
-            disc_opt,
-            state.disc_opt,
-        )
+
+        def d_phase(disc_params, disc_opt):
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+                disc_params, y, y_hat_sg
+            )
+            d_updates, disc_opt = tx_d.update(d_grads, disc_opt, disc_params)
+            d_updates = jax.tree_util.tree_map(lambda u: -lr * u, d_updates)
+            return optax.apply_updates(disc_params, d_updates), disc_opt, d_loss
+
+        if freeze_step == 0:
+            disc_params, disc_opt, d_loss = d_phase(
+                state.disc_params, state.disc_opt
+            )
+        else:
+            # skip the D forward/backward entirely during the freeze
+            # (reference simply doesn't call optim_d.step(), :1053-1058 —
+            # moments stay untouched; d_loss reports 0 while frozen).
+            # ``lax.cond`` executes only the live branch, recovering the
+            # ~40% of step time an always-compute-then-zero gate wastes.
+            disc_params, disc_opt, d_loss = jax.lax.cond(
+                frozen,
+                lambda p, o: (p, o, jnp.zeros(())),
+                d_phase,
+                state.disc_params,
+                state.disc_opt,
+            )
 
         # ---- G phase (reference :1060-1102)
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(

@@ -161,3 +161,63 @@ def test_wav_roundtrip_and_resample(tmp_path):
     np.testing.assert_allclose(y, x, atol=1e-3)
     z = resample(x, sr, 44100)
     assert abs(len(z) - 2 * len(x)) <= 2
+
+
+def test_stage2_freeze_step_skips_discriminator():
+    """freeze_step gating via lax.cond: while frozen, disc params AND
+    optimizer moments stay bit-identical, d_loss reports 0, and the
+    generator still trains on the regression loss; after the freeze the
+    discriminator starts updating (reference train_binaural_both.py
+    :1045-1058, :1088-1095)."""
+    from diffbinaural_tpu.train import make_stage2_train_step
+
+    def gen_apply(p, mel):  # (B, M, T) -> (B, 1, T)
+        return jnp.tanh(mel.mean(axis=1, keepdims=True) * p["w"])
+
+    def disc_apply(p, y, yh):
+        f = lambda s: [s * p["d"]]
+        return ([y.mean() * p["d"]], [yh.mean() * p["d"]], [f(y)], [f(yh)])
+
+    init_fn, step_fn = make_stage2_train_step(
+        gen_apply=gen_apply,
+        mpd_apply=disc_apply,
+        mrd_apply=disc_apply,
+        mel_fn=lambda w: w[:, None, :],
+        multiscale_mel_loss=lambda y, yh: jnp.mean(jnp.abs(y - yh)),
+        freeze_step=2,
+        donate=False,
+    )
+    gen_params = {"w": jnp.ones(())}
+    disc_params = {
+        "mpd": {"d": jnp.asarray(0.5)},
+        "mrd": {"d": jnp.asarray(-0.5)},
+    }
+    state = init_fn(gen_params, disc_params)
+    batch = {
+        "mel": jnp.ones((2, 4, 8)),
+        "audio": 0.1 * jnp.ones((2, 8)),
+        "mel_loss": jnp.ones((2, 4, 8)),
+    }
+
+    d0 = jax.tree_util.tree_leaves(state.disc_params)
+    m0 = jax.tree_util.tree_leaves(state.disc_opt)
+    for i in range(2):  # frozen steps
+        state, m = step_fn(state, batch)
+        assert float(m["loss_disc"]) == 0.0
+        assert float(m["loss_fm"]) == 0.0
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(d0, jax.tree_util.tree_leaves(state.disc_params))
+    )
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(m0, jax.tree_util.tree_leaves(state.disc_opt))
+    )
+    assert not np.allclose(float(state.gen_params["w"]), 1.0)
+
+    state, m = step_fn(state, batch)  # step 2: unfrozen
+    assert float(m["loss_disc"]) != 0.0
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(d0, jax.tree_util.tree_leaves(state.disc_params))
+    )
