@@ -115,6 +115,7 @@ class _Stage1Base:
         max_sources: int = MAX_SOURCES,
         simple_frames: bool = False,
         seed: int = 1234,
+        window_frames: int = WINDOW_FRAMES,
     ):
         self.rows = load_split_csv(csv_file)
         self.data_root = data_root
@@ -129,6 +130,9 @@ class _Stage1Base:
         self._rng = random.Random(seed)
         self.mel = _MelFrontend(n_fft, n_mels, sample_rate, hop, win, 0.0, None)
         self.n_mels = n_mels
+        # production window is 80 frames (SURVEY §2.7); tests shrink it to
+        # keep the CPU smoke world small
+        self.window_frames = window_frames
 
     def __len__(self):
         return len(self.rows)
@@ -140,9 +144,9 @@ class _Stage1Base:
         mel = self.mel(audio) if audio.ndim == 1 else np.stack(
             [self.mel(ch) for ch in audio]
         )
-        sl = slice(start_frame, start_frame + WINDOW_FRAMES)
+        sl = slice(start_frame, start_frame + self.window_frames)
         out = mel[..., sl]
-        pad = WINDOW_FRAMES - out.shape[-1]
+        pad = self.window_frames - out.shape[-1]
         if pad > 0:
             out = np.pad(
                 out,
@@ -248,13 +252,13 @@ class RealBinauralDataset(_Stage1Base):
             binaural = np.stack([binaural, binaural])
 
         total_frames = min(len(mono), binaural.shape[1]) // self.hop
-        if self.split == "train" and total_frames > WINDOW_FRAMES:
-            start = self._rng.randint(0, total_frames - WINDOW_FRAMES)
+        if self.split == "train" and total_frames > self.window_frames:
+            start = self._rng.randint(0, total_frames - self.window_frames)
         else:
             start = 0
 
         t0 = float(row.get("start_time", 0.0)) + start * self.hop / self.sample_rate
-        dur = WINDOW_FRAMES * self.hop / self.sample_rate
+        dur = self.window_frames * self.hop / self.sample_rate
         frames, pos3, pos2, mask = self._visual(vid, t0, t0 + dur)
 
         return {
@@ -308,13 +312,13 @@ class FairPlayPosDataset(_Stage1Base):
         mix = stereo.mean(axis=0)
 
         total_frames = stereo.shape[1] // self.hop
-        if self.split == "train" and total_frames > WINDOW_FRAMES:
-            start = self._rng.randint(0, total_frames - WINDOW_FRAMES)
+        if self.split == "train" and total_frames > self.window_frames:
+            start = self._rng.randint(0, total_frames - self.window_frames)
         else:
             start = 0
 
         t0 = float(row.get("start_time", 0.0)) + start * self.hop / self.sample_rate
-        dur = WINDOW_FRAMES * self.hop / self.sample_rate
+        dur = self.window_frames * self.hop / self.sample_rate
         frames, pos3, pos2, mask = self._visual(vid, t0, t0 + dur)
 
         return {
@@ -365,6 +369,7 @@ class _GenAudioBase(_Stage1Base):
         self.simple_frames = kw.get("simple_frames", False)
         self._rng = random.Random(kw.get("seed", 1234))
         self.n_mels = kw.get("n_mels", 80)
+        self.window_frames = kw.get("window_frames", WINDOW_FRAMES)
         self.mel = _MelFrontend(
             kw.get("n_fft", 1024), self.n_mels, self.sample_rate, self.hop,
             kw.get("win", 1024), 0.0, None,
@@ -378,21 +383,23 @@ class _GenAudioBase(_Stage1Base):
         self.total_time_frame = self.full_mel.shape[1]
         from ..infer.stage1 import window_starts
 
-        self.starts = window_starts(self.total_time_frame, WINDOW_FRAMES, stride)
+        self.starts = window_starts(
+            self.total_time_frame, self.window_frames, stride
+        )
 
     def __len__(self):
         return len(self.starts)
 
     def __getitem__(self, index):
         start = self.starts[index]
-        window = self.full_mel[:, start : start + WINDOW_FRAMES]
-        pad = WINDOW_FRAMES - window.shape[1]
+        window = self.full_mel[:, start : start + self.window_frames]
+        pad = self.window_frames - window.shape[1]
         if pad > 0:
             window = np.pad(window, ((0, 0), (0, pad)),
                             constant_values=np.log(1e-5))
         vid = self.rows[0]["video_id"]
         t0 = start * self.hop / self.sample_rate
-        dur = WINDOW_FRAMES * self.hop / self.sample_rate
+        dur = self.window_frames * self.hop / self.sample_rate
         frames, pos3, pos2, mask = self._visual(vid, t0, t0 + dur)
         return {
             self.mel_key: window[None].astype(np.float32),

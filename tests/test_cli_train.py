@@ -1,22 +1,20 @@
 """CLI-level trainer smoke tests on the tiny synthetic world: one epoch of
-train_realbinaural's driver path (Stage1Trainer), checkpoints + resume."""
+train_realbinaural's driver path (Stage1Trainer), checkpoints + resume.
+
+Runs unskipped: the world is shrunk to 16 mel bands x 16 frames (the
+production 80x80 attention made the old version a 25-minute slow test)."""
 
 import csv
 import os
 
+import jax
 import numpy as np
 import pytest
 
 from diffbinaural_tpu.data.audio_io import save_wav
 
-# ~25 min on the virtual CPU mesh (CPU-side 80x80 attention in the eval
-# DDIM dominates); run with DIFFBINAURAL_SLOW_TESTS=1
-pytestmark = pytest.mark.skipif(
-    not os.environ.get("DIFFBINAURAL_SLOW_TESTS"),
-    reason="slow CLI trainer smoke test (set DIFFBINAURAL_SLOW_TESTS=1)",
-)
-
 SR = 22050
+MEL = 16  # bands == window frames: square mel "images" like production 80x80
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +67,8 @@ def test_stage1_trainer_epoch_checkpoint_resume(world, tmp_path):
                                   layers=1, heads=2)
 
     common = dict(data_root=args.data_root, detection_csv=None,
-                  sample_rate=SR, n_mels=80, num_frames=1, max_sources=2)
+                  sample_rate=SR, n_mels=MEL, num_frames=1, max_sources=2,
+                  window_frames=MEL)
     ds_train = RealBinauralDataset(csv_file=args.list_train, split="train",
                                    **common)
     ds_val = RealBinauralDataset(csv_file=args.list_val, split="val", **common)
@@ -78,9 +77,9 @@ def test_stage1_trainer_epoch_checkpoint_resume(world, tmp_path):
                     num_workers=1)
 
     trainer = Stage1Trainer(args, ds_train, ds_val, mel_key="mono_mel")
-    # shrink the DDIM for the eval pass
+    # shrink the mel world and the DDIM for the eval pass
     trainer.diffusion = GaussianDiffusion(
-        image_size=80, timesteps=50, sampling_timesteps=2,
+        image_size=MEL, timesteps=50, sampling_timesteps=2,
         auto_normalize=False,
     )
     from diffbinaural_tpu.infer.stage1 import Stage1Sampler
@@ -114,3 +113,71 @@ def test_stage1_trainer_epoch_checkpoint_resume(world, tmp_path):
     trainer2.init_params(first)
     trainer2.try_resume()
     assert trainer2.start_epoch == 1
+
+
+def test_gan_trainer_steps_checkpoint_resume(tmp_path):
+    """GanTrainer driver path (cli/gan_common.py): a few real steps through
+    train(), g_/do_ checkpoints, and step-continuous resume — the stage-2
+    equivalent of the Stage1Trainer smoke (reference
+    train_binaural_mel.py:480-537, :1122-1143)."""
+    from diffbinaural_tpu.cli.gan_common import GanTrainer
+    from diffbinaural_tpu.core.config import AttrDict
+    from diffbinaural_tpu.data import BinauralMelSpectrogramDataset, DataLoader
+
+    left, right, audio = tmp_path / "l", tmp_path / "r", tmp_path / "a"
+    for d in (left, right, audio):
+        d.mkdir()
+    rng = np.random.default_rng(0)
+    hop, frames = 256, 40
+    for vid in ("u", "v"):
+        for d in (left, right):
+            np.save(d / f"{vid}.npy",
+                    (rng.standard_normal((16, frames)) - 6).astype(np.float32))
+        save_wav(str(audio / f"{vid}.wav"),
+                 0.1 * rng.standard_normal((2, frames * hop)).astype(np.float32),
+                 SR)
+
+    h = AttrDict({
+        "num_mels": 16, "upsample_rates": [4, 4, 4, 4],
+        "upsample_kernel_sizes": [8, 8, 8, 8], "upsample_initial_channel": 16,
+        "resblock": "1", "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+        "sampling_rate": SR, "n_fft": 512, "hop_size": hop, "win_size": 512,
+        "fmin": 0, "fmax_for_loss": None,
+        "learning_rate": 2e-4, "adam_b1": 0.8, "adam_b2": 0.99,
+        "lr_decay": 0.999, "seed": 0, "batch_size": 2, "segment_size": 4096,
+        "mpd_reshapes": [2], "discriminator_channel_mult": 0.125,
+        "resolutions": [[128, 32, 128]],
+    })
+    a = AttrDict({
+        "checkpoint_path": str(tmp_path / "ckpt"), "training_epochs": 2,
+        "stdout_interval": 1, "summary_interval": 100,
+        "checkpoint_interval": 2, "validation_interval": 1000,
+        "freeze_step": 0, "debug": True,
+    })
+
+    ds = BinauralMelSpectrogramDataset(
+        str(left), str(right), str(audio), segment_size=h.segment_size,
+        n_fft=h.n_fft, num_mels=h.num_mels, hop_size=hop, win_size=h.win_size,
+    )
+    assert len(ds) == 4
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+
+    trainer = GanTrainer(a, h)
+    trainer.init_params(seg_frames=h.segment_size // hop)
+    trainer.try_resume()  # empty dir — must be a no-op
+    assert trainer.steps == 0
+    trainer.train(loader, loader)
+    assert trainer.steps == 4  # 2 epochs x 2 batches
+
+    files = sorted(os.listdir(a.checkpoint_path))
+    assert "g_00000002" in files and "do_00000002" in files
+    assert "g_00000004" in files and "do_00000004" in files
+
+    trainer2 = GanTrainer(a, h)
+    trainer2.init_params(seg_frames=h.segment_size // hop)
+    trainer2.try_resume()
+    assert trainer2.steps == 5  # saved step 4 → resume at 5
+    g0 = jax.tree_util.tree_leaves(trainer.state.gen_params)
+    g1 = jax.tree_util.tree_leaves(trainer2.state.gen_params)
+    assert all(np.array_equal(x, y) for x, y in zip(g0, g1))
