@@ -38,9 +38,13 @@ Kernel structure (v3):
       row-major reinterpretation, and a time shift τ becomes a
       (row-shift, lane-rotation) pair, so the stage runs with 384 active
       lanes.
-  * Tiles are overlapping windows materialised by one cheap XLA copy and
-    streamed through the kernel by the normal BlockSpec pipeline (automatic
-    double buffering), instead of per-program manual DMA.
+  * Tiles stream straight from the padded input: window i = rows
+    [i·tt, (i+1)·tt) read in place by the BlockSpec pipeline (automatic
+    double buffering) ⊕ a 2·HR-row tail-halo strip from a tiny side tensor
+    (2·HR/tt ≈ 3% of the array).  Earlier versions materialised full
+    overlapping windows in HBM first; that copy (plus an extra spare-tile
+    pad) was measured to cost as much XLA glue time as the kernels
+    themselves on the narrow stages.
 
 Both directions are fused: the backward runs the adjoint FIRs (transposed
 banded matrices / reversed taps), the snake local derivatives, and the
@@ -155,13 +159,25 @@ def _banded_bwd_mats(t_tile: int, HY: int, HR: int):
     return B_e, B_o, C_e, C_o
 
 
-def _fwd_kernel_mxu(x_ref, alpha_ref, invb_ref, ae_ref, ao_ref,
-                    det_ref, dot_ref, deb_ref, dob_ref, out_ref,
-                    *, t_tile, HY, split_at):
+def _assemble(refs):
+    """Window pieces → (W, chunk).  Padded plan: (main, tail-2HR).
+    Padless plan: (head-HR, main, tail-HR)."""
+    if len(refs) == 3:
+        return jnp.concatenate([refs[0][0, 0], refs[1][0], refs[2][0, 0]],
+                               axis=0)
+    return jnp.concatenate([refs[0][0], refs[1][0, 0]], axis=0)
+
+
+def _fwd_kernel_mxu(*refs, t_tile, HY, split_at, pieces):
     """Banded-matmul forward: up-FIR (MXU) → snakeβ per half (VPU) →
     down-FIR half (MXU), halves forming independent chains so the
     scheduler overlaps one half's snake with the other's matmul."""
-    xw = x_ref[0, 0]  # (W, chunk) cdt
+    alpha_ref, invb_ref = refs[pieces], refs[pieces + 1]
+    ae_ref, ao_ref, det_ref, dot_ref, deb_ref, dob_ref = refs[
+        pieces + 2: pieces + 8
+    ]
+    out_ref = refs[-1]
+    xw = _assemble(refs[:pieces])  # (W, chunk) cdt
     cdt = xw.dtype
     alpha = alpha_ref[0]
     inv_beta = invb_ref[0]
@@ -189,11 +205,14 @@ def _fwd_kernel_mxu(x_ref, alpha_ref, invb_ref, ae_ref, ao_ref,
     )
 
 
-def _bwd_kernel_mxu(x_ref, dz_ref, alpha_ref, invb_ref,
-                    ae_ref, ao_ref, be_ref, bo_ref, ce_ref, co_ref,
-                    dx_ref, da_ref, db_ref, *, t_tile, HY):
-    xw = x_ref[0, 0]
-    dzw = dz_ref[0, 0]
+def _bwd_kernel_mxu(*refs, t_tile, HY, pieces):
+    alpha_ref, invb_ref = refs[2 * pieces], refs[2 * pieces + 1]
+    ae_ref, ao_ref, be_ref, bo_ref, ce_ref, co_ref = refs[
+        2 * pieces + 2: 2 * pieces + 8
+    ]
+    dx_ref, da_ref, db_ref = refs[-3:]
+    xw = _assemble(refs[:pieces])
+    dzw = _assemble(refs[pieces: 2 * pieces])
     cdt = xw.dtype
     alpha = alpha_ref[0]
     inv_beta = invb_ref[0]
@@ -266,10 +285,11 @@ def _up_snake(xw, alpha, inv_beta, t_tile, HY, HR, R, C):
     return y_e, y_o, mid_e, mid_o
 
 
-def _fwd_kernel(x_ref, alpha_ref, invb_ref, out_ref,
-                *, t_tile, HY, HR, R, C):
+def _fwd_kernel(*refs, t_tile, HY, HR, R, C, pieces):
     _, _, he, ho = _taps()
-    xw = x_ref[0, 0].astype(jnp.float32)
+    alpha_ref, invb_ref = refs[pieces], refs[pieces + 1]
+    out_ref = refs[-1]
+    xw = _assemble(refs[:pieces]).astype(jnp.float32)
     alpha = alpha_ref[0]
     inv_beta = invb_ref[0]
     _, _, mid_e, mid_o = _up_snake(xw, alpha, inv_beta, t_tile, HY, HR, R, C)
@@ -281,11 +301,12 @@ def _fwd_kernel(x_ref, alpha_ref, invb_ref, out_ref,
     out_ref[0, 0] = z.astype(out_ref.dtype)
 
 
-def _bwd_kernel(x_ref, dz_ref, alpha_ref, invb_ref,
-                dx_ref, da_ref, db_ref, *, t_tile, HY, HR, R, C):
+def _bwd_kernel(*refs, t_tile, HY, HR, R, C, pieces):
     we2, wo2, he, ho = _taps()
-    xw = x_ref[0, 0].astype(jnp.float32)
-    dzw = dz_ref[0, 0].astype(jnp.float32)
+    alpha_ref, invb_ref = refs[2 * pieces], refs[2 * pieces + 1]
+    dx_ref, da_ref, db_ref = refs[-3:]
+    xw = _assemble(refs[:pieces]).astype(jnp.float32)
+    dzw = _assemble(refs[pieces: 2 * pieces]).astype(jnp.float32)
     alpha = alpha_ref[0]
     inv_beta = invb_ref[0]
 
@@ -337,12 +358,28 @@ def _bwd_kernel(x_ref, dz_ref, alpha_ref, invb_ref,
     db_ref[0, 0] = jnp.where(own, db_e + db_o, 0.0).sum(axis=0)[None]
 
 
+def _divisor_tile(rows: int, cap: int) -> int:
+    """Largest divisor of ``rows`` that is a multiple of 8, ≤ cap and ≥ 64
+    (bounding the halo fraction), or 0 if none exists."""
+    best = 0
+    for tt in range(64, min(cap, rows) + 1, 8):
+        if rows % tt == 0:
+            best = tt
+    return best
+
+
 def _plan(x, bwd: bool = False):
     """Common layout planning: mode choice, lane padding/fold, window
     geometry.  MXU mode lane-pads to 128 and runs banded matmuls; VPU mode
     (narrow C, or tiny T) time-folds channels into lanes.  The VPU
     backward keeps ~2× the live f32 intermediates, so it runs half the
-    forward's row tile to stay inside VMEM."""
+    forward's row tile to stay inside VMEM.
+
+    When the fold is free (t % R == 0, no lane pad) and the folded row
+    count has a usable divisor tile, the plan goes **padless**: the main
+    tiles read the raw reshaped input in place and the clip-edge
+    replication lives only in tiny XLA-built halo strips — no whole-array
+    pad copy at all."""
     b, t, c = x.shape
     # measured on v5e: banded-MXU wins only at full lane occupancy; any
     # lane padding (C=192/96/48) loses to the time-folded VPU path
@@ -361,38 +398,115 @@ def _plan(x, bwd: bool = False):
         cap = (512 if L <= 384 else 256) // (2 if bwd else 1)
     P = HR * R
     rows_valid = -(-t // R)
-    t_tile = min(cap, -(-rows_valid // 8) * 8)
-    n_t = -(-rows_valid // t_tile)
-    # one spare tile of tail rows keeps the strided window views in bounds
-    total_t = ((n_t + 1) * t_tile + 2 * HR) * R
+    padless = False
+    t_tile = 0
+    if c_pad == c and t % R == 0:
+        t_tile = _divisor_tile(rows_valid, cap)
+        padless = t_tile > 0
+    if not padless:
+        t_tile = min(cap, -(-rows_valid // 8) * 8)
+    n_t = rows_valid // t_tile if padless else -(-rows_valid // t_tile)
+    # padded path: exactly the rows the main tiles + the last tail halo touch
+    total_t = t if padless else (n_t * t_tile + 2 * HR) * R
     W = t_tile + 2 * HR
     split_at = (t_tile // 16) * 8 if t_tile >= 16 else t_tile
     return dict(b=b, t=t, c=c, c_pad=c_pad, R=R, L=L, HY=HY, HR=HR, P=P,
                 t_tile=t_tile, n_t=n_t, total_t=total_t, W=W, mode=mode,
-                chunk=chunk, split_at=split_at)
+                chunk=chunk, split_at=split_at, padless=padless)
 
 
-def _windows(xp, g):
-    """(B, total_rows, L) folded padded input → (B, n_t, W, L) overlapping
-    tile windows, built from three strided reshape views (head / main /
-    tail) and ONE XLA concat: window i = rows [i·tt, i·tt+HR) ⊕
-    [HR+i·tt, HR+(i+1)·tt) ⊕ [HR+(i+1)·tt, +HR).  A stack of n_t slices
-    lowers to n_t copies and measurably dominates narrow stages."""
-    b, nt, tt, hr, L = g["b"], g["n_t"], g["t_tile"], g["HR"], g["L"]
-    xf = xp.reshape(b, g["total_t"] // g["R"], L)
-    span = nt * tt
-    head = xf[:, :span].reshape(b, nt, tt, L)[:, :, :hr]
-    main = xf[:, hr: hr + span].reshape(b, nt, tt, L)
-    tail = xf[:, hr + tt: hr + tt + span].reshape(b, nt, tt, L)[:, :, :hr]
-    return jnp.concatenate([head, main, tail], axis=2)
+def _fold_rows(xp, g):
+    """(B, total_t, c_pad) padded input → the free row-major
+    reinterpretation (B, total_t/R, R·c_pad) the tile pipeline reads in
+    place: window i's first t_tile rows are exactly row-block i."""
+    return xp.reshape(g["b"], g["total_t"] // g["R"], g["L"])
+
+
+def _halo_strips(xf, g):
+    """(B, total_rows, L) → (B, n_t, 2·HR, L): window i's tail halo, rows
+    [(i+1)·tt, (i+1)·tt + 2·HR).  A stack of n_t tiny 2·HR-row slices
+    (XLA fuses them into one copy of ≈ 2·HR/tt ≈ 3% of the array) — the
+    main t_tile rows are NOT copied; the kernel reads them straight from
+    the padded input via its own BlockSpec."""
+    nt, tt, hr = g["n_t"], g["t_tile"], g["HR"]
+    return jnp.stack(
+        [
+            jax.lax.slice_in_dim(xf, (i + 1) * tt, (i + 1) * tt + 2 * hr, axis=1)
+            for i in range(nt)
+        ],
+        axis=1,
+    )
+
+
+def _edge_halos(xf, x, g, edge: bool):
+    """Padless-plan halo strips, 2 × (B, n_t, HR, L).
+
+    head[i] = folded rows [i·tt − HR, i·tt); head[0] = the clip-edge rows
+    (each the first sample tiled R× across lanes when ``edge``, zeros for
+    gradients).  tail[i] = rows [(i+1)·tt, (i+1)·tt + HR); tail[n_t−1] =
+    last-sample replica rows (or zeros).  Strip bytes ≈ 2·HR/tt of the
+    array — the edge semantics live HERE, so the bulk input needs no pad
+    copy at all."""
+    b, nt, tt = g["b"], g["n_t"], g["t_tile"]
+    hr, L, R = g["HR"], g["L"], g["R"]
+    if edge:
+        first = jnp.tile(x[:, :1, :], (1, 1, R))  # (B, 1, L): [x₀]·R folded
+        last = jnp.tile(x[:, -1:, :], (1, 1, R))
+    else:
+        first = jnp.zeros((b, 1, L), xf.dtype)
+        last = first
+    head0 = jnp.broadcast_to(first[:, :, None], (b, 1, hr, L))
+    tail_n = jnp.broadcast_to(last[:, :, None], (b, 1, hr, L))
+    heads = [head0] + [
+        xf[:, i * tt - hr: i * tt][:, None] for i in range(1, nt)
+    ]
+    tails = [
+        xf[:, (i + 1) * tt: (i + 1) * tt + hr][:, None] for i in range(nt - 1)
+    ] + [tail_n]
+    return jnp.concatenate(heads, axis=1), jnp.concatenate(tails, axis=1)
+
+
+def _window_pieces(x, g, edge: bool, cdt):
+    """The window read plan → (operands, in_specs).
+
+    Padless: [head-HR strip, raw reshaped input read in place, tail-HR
+    strip].  Padded: [padded input read in place, tail-2HR strip]."""
+    ck = g["chunk"]
+    main_spec = pl.BlockSpec((1, g["t_tile"], ck),
+                             lambda bi, ti, ci: (bi, ti, ci))
+    xc = x.astype(cdt)
+    if g["padless"]:
+        xf = _fold_rows(xc, g)
+        head, tail = _edge_halos(xf, xc, g, edge)
+        strip = pl.BlockSpec((1, 1, g["HR"], ck),
+                             lambda bi, ti, ci: (bi, ti, 0, ci))
+        return [head, xf, tail], [strip, main_spec, strip]
+    xf = _fold_rows(_pad_fold(xc, g, "edge" if edge else "constant"), g)
+    strip2 = pl.BlockSpec((1, 1, 2 * g["HR"], ck),
+                          lambda bi, ti, ci: (bi, ti, 0, ci))
+    return [xf, _halo_strips(xf, g)], [main_spec, strip2]
 
 
 def _pad_fold(x, g, mode):
-    """Lane-pad to c_pad, edge/zero-pad time to total_t (P leading)."""
+    """Lane-pad to c_pad, edge/zero-pad time to total_t (P leading).
+
+    The time pad is built as broadcast(edge-row) ⊕ x ⊕ broadcast(edge-row)
+    concatenation: ``jnp.pad(mode='edge')`` lowers to a clamped-gather
+    fusion that re-streams the whole array at ~19 GB/s and was measured to
+    cost as much as the fused kernel itself (profiled: pad_maximum_fusion
+    0.56 ms vs kernel 0.78 ms per stage-1 act call); plain concat copies
+    run at full HBM bandwidth."""
     if g["c_pad"] != g["c"]:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, g["c_pad"] - g["c"])))
+    b, _, c = x.shape
     tail = g["total_t"] - g["P"] - g["t"]
-    return jnp.pad(x, ((0, 0), (g["P"], tail), (0, 0)), mode=mode)
+    if mode == "edge":
+        head = jnp.broadcast_to(x[:, :1], (b, g["P"], c))
+        back = jnp.broadcast_to(x[:, -1:], (b, tail, c))
+    else:
+        head = jnp.zeros((b, g["P"], c), x.dtype)
+        back = jnp.zeros((b, tail, c), x.dtype)
+    return jnp.concatenate([head, x, back], axis=1)
 
 
 def _lane_params(alpha_eff, beta_eff, g):
@@ -423,12 +537,10 @@ def _fused_forward(x: jnp.ndarray, alpha_eff, beta_eff) -> jnp.ndarray:
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
-    xw = _windows(_pad_fold(x.astype(cdt), g, "edge"), g)
+    x_ops, x_specs = _window_pieces(x, g, True, cdt)
     alpha, inv_beta = _lane_params(alpha_eff, beta_eff, g)
 
     ck = g["chunk"]
-    win_spec = pl.BlockSpec((1, 1, g["W"], ck),
-                            lambda bi, ti, ci: (bi, ti, 0, ci))
     par_spec = pl.BlockSpec((1, ck), lambda bi, ti, ci: (0, ci))
     out_spec = pl.BlockSpec((1, 1, g["t_tile"], ck),
                             lambda bi, ti, ci: (bi, ti, 0, ci))
@@ -448,29 +560,30 @@ def _fused_forward(x: jnp.ndarray, alpha_eff, beta_eff) -> jnp.ndarray:
         mats = [jnp.asarray(m_, cdt) for m_ in mats]
         kern = functools.partial(
             _fwd_kernel_mxu, t_tile=g["t_tile"], HY=g["HY"],
-            split_at=t2,
+            split_at=t2, pieces=len(x_ops),
         )
         out = pl.pallas_call(
             kern,
             out_shape=out_shape,
             grid=grid,
-            in_specs=[win_spec, par_spec, par_spec] + [const(m_) for m_ in mats],
+            in_specs=x_specs + [par_spec, par_spec]
+            + [const(m_) for m_ in mats],
             out_specs=out_spec,
             interpret=interpret,
-        )(xw, alpha, inv_beta, *mats)
+        )(*x_ops, alpha, inv_beta, *mats)
     else:
         kern = functools.partial(
             _fwd_kernel, t_tile=g["t_tile"], HY=g["HY"], HR=g["HR"],
-            R=g["R"], C=g["c_pad"],
+            R=g["R"], C=g["c_pad"], pieces=len(x_ops),
         )
         out = pl.pallas_call(
             kern,
             out_shape=out_shape,
             grid=grid,
-            in_specs=[win_spec, par_spec, par_spec],
+            in_specs=x_specs + [par_spec, par_spec],
             out_specs=out_spec,
             interpret=interpret,
-        )(xw, alpha, inv_beta)
+        )(*x_ops, alpha, inv_beta)
     return _unfold(out, g, x.dtype)
 
 
@@ -484,14 +597,12 @@ def _fused_backward(x, dz, alpha_eff, beta_eff):
     interpret = jax.default_backend() != "tpu"
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
-    xw = _windows(_pad_fold(x.astype(cdt), g, "edge"), g)
-    # pad grads with ZEROS: grads beyond the clip do not exist
-    dzw = _windows(_pad_fold(dz.astype(cdt), g, "constant"), g)
+    x_ops, x_specs = _window_pieces(x, g, True, cdt)
+    # grad boundary fill is ZEROS: grads beyond the clip do not exist
+    dz_ops, dz_specs = _window_pieces(dz, g, False, cdt)
     alpha, inv_beta = _lane_params(alpha_eff, beta_eff, g)
 
     ck = g["chunk"]
-    win_spec = pl.BlockSpec((1, 1, g["W"], ck),
-                            lambda bi, ti, ci: (bi, ti, 0, ci))
     par_spec = pl.BlockSpec((1, ck), lambda bi, ti, ci: (0, ci))
     grid = (g["b"], g["n_t"], g["L"] // ck)
     out_shapes = (
@@ -515,29 +626,30 @@ def _fused_backward(x, dz, alpha_eff, beta_eff):
         mats = [jnp.asarray(m_, cdt) for m_ in (A_e, A_o, B_e, B_o, C_e, C_o)]
         kern = functools.partial(
             _bwd_kernel_mxu, t_tile=g["t_tile"], HY=g["HY"],
+            pieces=len(x_ops),
         )
         dx, da_p, db_p = pl.pallas_call(
             kern,
             out_shape=out_shapes,
             grid=grid,
-            in_specs=[win_spec, win_spec, par_spec, par_spec]
+            in_specs=x_specs + dz_specs + [par_spec, par_spec]
             + [const(m_) for m_ in mats],
             out_specs=out_specs,
             interpret=interpret,
-        )(xw, dzw, alpha, inv_beta, *mats)
+        )(*x_ops, *dz_ops, alpha, inv_beta, *mats)
     else:
         kern = functools.partial(
             _bwd_kernel, t_tile=g["t_tile"], HY=g["HY"], HR=g["HR"],
-            R=g["R"], C=g["c_pad"],
+            R=g["R"], C=g["c_pad"], pieces=len(x_ops),
         )
         dx, da_p, db_p = pl.pallas_call(
             kern,
             out_shape=out_shapes,
             grid=grid,
-            in_specs=[win_spec, win_spec, par_spec, par_spec],
+            in_specs=x_specs + dz_specs + [par_spec, par_spec],
             out_specs=out_specs,
             interpret=interpret,
-        )(xw, dzw, alpha, inv_beta)
+        )(*x_ops, *dz_ops, alpha, inv_beta)
 
     dx = _unfold(dx, g, x.dtype)
     # fold the R phase copies and the lane padding back to (C,)

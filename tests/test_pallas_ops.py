@@ -111,7 +111,7 @@ def test_multi_tile_alpha_beta_grads():
         np.testing.assert_allclose(a / scale, b / scale, atol=3e-3)
 
 
-@pytest.mark.parametrize("c,t", [(24, 700), (48, 300), (96, 128)])
+@pytest.mark.parametrize("c,t", [(24, 700), (48, 300), (96, 128), (48, 6144)])
 def test_packed_narrow_channels_match_xla(c, t):
     """Slab-packed path (C < 128) must match the XLA composition except at
     clip edges."""
@@ -147,6 +147,52 @@ def test_packed_gradients_match_xla():
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-6
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+
+
+def test_padless_narrow_gradients_multi_tile():
+    """Padless VPU plan, multiple backward tiles (t/R divisible, divisor
+    row tile): interior dx and the α/β seam accounting must match XLA."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 5120, 24)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(24).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(24).astype(np.float32) * 0.1)
+
+    from diffbinaural_tpu.ops import alias_free_act as afa
+
+    g = afa._plan(x, bwd=True)
+    assert g["padless"] and g["n_t"] >= 2, (g["padless"], g["n_t"])
+
+    gf = jax.grad(lambda *a: jnp.sum(fused_alias_free_snake(*a, True) ** 2),
+                  argnums=(0, 1, 2))(x, alpha, beta)
+    gx = jax.grad(lambda *a: jnp.sum(_xla_reference(*a) ** 2),
+                  argnums=(0, 1, 2))(x, alpha, beta)
+    np.testing.assert_allclose(
+        np.asarray(gf[0])[:, 8:-8], np.asarray(gx[0])[:, 8:-8],
+        rtol=1e-4, atol=1e-4,
+    )
+    for a, b in zip(gf[1:], gx[1:]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+
+
+def test_padless_matches_padded_plan(monkeypatch):
+    """The padless plan must produce bit-identical windows to the padded
+    plan (same lattice, same edge semantics) — compare the two fused paths
+    directly on a shape eligible for both."""
+    from diffbinaural_tpu.ops import alias_free_act as afa
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 1200, 128)).astype(np.float32))
+    alpha = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1)
+    assert afa._plan(x)["padless"]
+    got_padless = np.asarray(fused_alias_free_snake(x, alpha, beta, True))
+
+    monkeypatch.setattr(afa, "_divisor_tile", lambda rows, cap: 0)
+    assert not afa._plan(x)["padless"]
+    got_padded = np.asarray(fused_alias_free_snake(x, alpha, beta, True))
+    np.testing.assert_allclose(got_padless, got_padded, rtol=1e-6, atol=1e-6)
 
 
 def test_fused_bf16_inputs_close_to_fp32():
