@@ -1,7 +1,8 @@
 """End-to-end benchmark: 10 s mono clip → binaural waveform, on one chip.
 
-Pipeline timed (production shapes, random weights — throughput is
-weight-independent), faithful to the production glue
+Times the shipped library pipeline (`infer.pipeline.BinauralPipeline`) on
+production shapes with random weights (throughput is weight-independent),
+faithful to the production glue
 (/root/reference/DiffBinaural/test_realBinaural.py:137-211 +
 /root/reference/BigVGAN/inference_e2e.py:114-206):
 
@@ -14,6 +15,8 @@ weight-independent), faithful to the production glue
            which depends on every DDIM window, so the single fetch fences
            the entire pipeline (block_until_ready lies on tunneled
            backends; a host fetch is the only hard sync).
+
+The whole clip is ONE jitted dispatch (see BinauralPipeline's docstring).
 
 The visual encoder is NOT timed (matching the A100 anchor below, which
 also counts only UNet passes + vocoder; the reference precomputes/shares
@@ -39,29 +42,18 @@ CLIP_SECONDS = 10.0
 SR = 22050
 HOP = 256
 WINDOW = 80
-STRIDE = 40
-CROP = 8
 DDIM_STEPS = 25
-UNET_BATCH = 8  # 3 pipelined batch-8 calls measured fastest end-to-end
+UNET_BATCH = 8
 BASELINE_CLIPS_PER_SEC = 0.42
 
 
 def main():
     from diffbinaural_tpu.core.config import VocoderConfig
-    from diffbinaural_tpu.diffusion import GaussianDiffusion
-    from diffbinaural_tpu.infer.stage1 import (
-        denormalize_mel,
-        normalize_mel,
-        window_starts,
-    )
+    from diffbinaural_tpu.infer.pipeline import BinauralPipeline
     from diffbinaural_tpu.models import AudioVisualModel
     from diffbinaural_tpu.models.bigvgan import BigVGAN
 
     total_frames = int(CLIP_SECONDS * SR) // HOP  # 861
-    starts = window_starts(total_frames, WINDOW, STRIDE)
-    n_windows = len(starts)
-    n_batches = -(-n_windows // UNET_BATCH)
-    n_slots = n_batches * UNET_BATCH  # pad the last batch with repeats
 
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
@@ -82,68 +74,20 @@ def main():
     unet_params = jax.device_put(unet_params, tpu)
     voc_params = jax.device_put(voc_params, tpu)
 
-    diffusion = GaussianDiffusion(
-        image_size=WINDOW, timesteps=1000, sampling_timesteps=DDIM_STEPS,
-        beta_schedule="cosine", auto_normalize=False,
+    pipe = BinauralPipeline(
+        unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
+        voc_apply=lambda p, mel: voc.apply(p, mel),
+        total_frames=total_frames,
+        unet_batch=UNET_BATCH,
+        sampling_timesteps=DDIM_STEPS,
     )
-
-    # window gather / overlap-average geometry (static)
-    starts_np = np.asarray(starts, np.int32)
-    count = np.zeros((total_frames,), np.float32)
-    for s in starts_np:
-        count[s + CROP : s + WINDOW - CROP] += 1.0
-    inv_count = jnp.asarray(1.0 / np.clip(count, 1.0, None))
-
-    @jax.jit
-    def make_windows(mono_full):
-        """(1, 80, T) raw ln-mel → (n_slots, 1, 80, WINDOW) normalised."""
-        wins = jnp.stack(
-            [
-                jax.lax.dynamic_slice_in_dim(mono_full, s, WINDOW, axis=2)
-                for s in starts_np
-            ]
-        )
-        pad = jnp.broadcast_to(
-            wins[-1:], (n_slots - n_windows,) + wins.shape[1:]
-        )
-        return normalize_mel(jnp.concatenate([wins, pad], axis=0))
-
-    @jax.jit
-    def stage1(params, mono_norm, feat, rng):
-        model_fn = lambda x, t, c: unet.apply(params, x, t, c)
-        return diffusion.ddim_sample(model_fn, (mono_norm, feat), rng)
-
-    @jax.jit
-    def stitch(preds):
-        """(n_slots, 2, 80, WINDOW) normalised preds → (2, 80, T) ln-mels.
-
-        The production crop-and-average (infer/stage1.generate_clip), but on
-        device: 8-frame edge crops, scatter-add, divide by overlap count.
-        """
-        preds = denormalize_mel(preds[:n_windows])
-        mel = jnp.zeros((2, 80, total_frames), preds.dtype)
-        for i, s in enumerate(starts_np):
-            mel = jax.lax.dynamic_update_slice_in_dim(
-                mel,
-                jax.lax.dynamic_slice_in_dim(
-                    mel, s + CROP, WINDOW - 2 * CROP, axis=2
-                )
-                + preds[i, :, :, CROP : WINDOW - CROP],
-                s + CROP,
-                axis=2,
-            )
-        return mel * inv_count[None, None, :]
-
-    @jax.jit
-    def stage2(params, mel):
-        return voc.apply(params, mel)
 
     # distinct inputs per call — rules out any result caching in the stack
     rng_np = np.random.default_rng(0)
 
     def fresh_clip():
         mono = rng_np.standard_normal((1, 80, total_frames)) - 6.0
-        feat = rng_np.standard_normal((n_slots, 512))
+        feat = rng_np.standard_normal((pipe.n_slots, 512))
         return (
             jnp.asarray(mono.astype(np.float32)),
             jnp.asarray(feat.astype(np.float32)),
@@ -158,20 +102,9 @@ def main():
     def sync(x):
         return float(jnp.sum(x))
 
-    def run_clip(mono_full, feat, key):
-        wins = make_windows(mono_full)
-        preds = []
-        for bi in range(n_batches):
-            sl = slice(bi * UNET_BATCH, (bi + 1) * UNET_BATCH)
-            preds.append(
-                stage1(unet_params, wins[sl], feat[sl], jax.random.fold_in(key, bi))
-            )
-        mel = stitch(jnp.concatenate(preds, axis=0))
-        return stage2(voc_params, mel)
-
     # ---- warmup (compile) ------------------------------------------------
     mono, feat = fresh_clip()
-    sync(run_clip(mono, feat, key))
+    sync(pipe(unet_params, voc_params, mono, feat, key))
 
     # ---- timed runs ------------------------------------------------------
     # one host fetch per clip; wav ← stitch ← all stage-1 windows, so the
@@ -181,7 +114,10 @@ def main():
     t0 = time.time()
     for it in range(n_iters):
         mono, feat = inputs[it]
-        wav = run_clip(mono, feat, jax.random.fold_in(key, 1000 + it))
+        wav = pipe(
+            unet_params, voc_params, mono, feat,
+            jax.random.fold_in(key, 1000 + it),
+        )
         sync(wav)
     elapsed = (time.time() - t0) / n_iters
 
@@ -194,6 +130,7 @@ def main():
                 "unit": "clips/s/chip",
                 "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
                 "pipeline": "mono_mel->windows->ddim25->stitch->vocoder->wav",
+                "dispatches_per_clip": 1,
                 "visual_encoder_included": False,
             }
         )

@@ -40,7 +40,14 @@ def bench_unet(batch=8, reps=10):
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
     model = AudioVisualModel(dim=64, dtype=jnp.bfloat16)
-    with jax.default_device(cpu):
+    # jitted batch-1 init ON the TPU: CPU-side init runs the dense n=6400
+    # attention eagerly and takes minutes on a 1-CPU host
+    with jax.default_device(tpu):
+        x1 = jnp.zeros((1, 2, 80, 80))
+        t1 = jnp.zeros((1,), jnp.int32)
+        cond1 = (jnp.zeros((1, 1, 80, 80)), jnp.zeros((1, 512)),
+                 jnp.zeros((1, 2, 80, 80)))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x1, t1, cond1)
         x = jnp.zeros((batch, 2, 80, 80))
         t = jnp.zeros((batch,), jnp.int32)
         cond = (
@@ -48,10 +55,6 @@ def bench_unet(batch=8, reps=10):
             jnp.zeros((batch, 512)),
             jnp.zeros((batch, 2, 80, 80)),
         )
-        params = model.init(jax.random.PRNGKey(0), x, t, cond)
-    params = jax.device_put(params, tpu)
-    x, t = jax.device_put((x, t), tpu)
-    cond = jax.device_put(cond, tpu)
 
     @jax.jit
     def loop(params, x, t, cond):
@@ -355,16 +358,15 @@ def bench_train1(batch=16, reps=5):
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
     unet = AudioVisualModel(dim=64, dtype=jnp.bfloat16)
-    with jax.default_device(cpu):
-        x = jnp.zeros((batch, 2, 80, 80))
-        t = jnp.zeros((batch,), jnp.int32)
+    with jax.default_device(tpu):  # jitted init on-device (see bench_unet)
+        x = jnp.zeros((1, 2, 80, 80))
+        t = jnp.zeros((1,), jnp.int32)
         cond = (
-            jnp.zeros((batch, 1, 80, 80)),
-            jnp.zeros((batch, 512)),
-            jnp.zeros((batch, 2, 80, 80)),
+            jnp.zeros((1, 1, 80, 80)),
+            jnp.zeros((1, 512)),
+            jnp.zeros((1, 2, 80, 80)),
         )
-        params = {"unet": unet.init(jax.random.PRNGKey(0), x, t, cond)}
-    params = jax.device_put(params, tpu)
+        params = {"unet": jax.jit(unet.init)(jax.random.PRNGKey(0), x, t, cond)}
 
     init_fn, step_fn = make_stage1_train_step(
         unet_apply=lambda p, x_, t_, c: unet.apply(p, x_, t_, c),

@@ -1,3 +1,4 @@
+from .pipeline import BinauralPipeline
 from .stage1 import (
     MEL_MAX,
     MEL_MIN,
