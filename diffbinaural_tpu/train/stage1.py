@@ -120,4 +120,7 @@ def make_stage1_train_step(
         )
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 
-    return init_fn, (jax.jit(step_fn, donate_argnums=(0,)) if donate else step_fn)
+    # donate=False only disables buffer donation (callers that keep the old
+    # state alive); the step is ALWAYS jitted — an eager step dispatches the
+    # whole fwd+bwd op-by-op and is orders of magnitude slower.
+    return init_fn, jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -220,4 +220,6 @@ def make_stage2_train_step(
         }
         return new_state, metrics
 
-    return init_fn, (jax.jit(step_fn, donate_argnums=(0,)) if donate else step_fn)
+    # donate=False only disables buffer donation; the step is ALWAYS jitted
+    # (an eager GAN step dispatches every op separately — unusably slow).
+    return init_fn, jax.jit(step_fn, donate_argnums=(0,) if donate else ())
