@@ -32,11 +32,10 @@ the torch-path BigVGAN RTF ≈76× for 2×10 s of audio
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 CLIP_SECONDS = 10.0
 SR = 22050
@@ -47,7 +46,39 @@ UNET_BATCH = 8
 BASELINE_CLIPS_PER_SEC = 0.42
 
 
+def _wait_for_backend(attempts: int = 4, probe_timeout: int = 150) -> None:
+    """Fail fast (and retry) when the TPU tunnel is down.
+
+    Observed failure mode: backend init hangs ~28 minutes before raising
+    UNAVAILABLE, which would silently eat the whole benchmark budget.  A
+    tiny op in a SUBPROCESS (so a hung init can be killed) proves the
+    backend is usable before this process commits to it."""
+    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((4,)))))"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=probe_timeout,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                env=dict(os.environ),
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            print(f"[bench] backend probe failed, retrying "
+                  f"({i + 1}/{attempts})", file=sys.stderr)
+            time.sleep(30)
+    print("[bench] TPU backend unavailable after "
+          f"{attempts} probes — aborting", file=sys.stderr)
+    sys.exit(1)
+
+
 def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from diffbinaural_tpu.core.config import VocoderConfig
     from diffbinaural_tpu.infer.pipeline import BinauralPipeline
     from diffbinaural_tpu.models import AudioVisualModel
@@ -138,4 +169,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _wait_for_backend()
     main()
