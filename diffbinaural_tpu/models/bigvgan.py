@@ -66,7 +66,11 @@ class WNConv1d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, snake=None) -> jnp.ndarray:
+        """snake=(raw_alpha, raw_beta, logscale): fuse the anti-aliased
+        snake activation INTO this convolution via ops.snake_conv (the
+        caller passes the raw per-channel parameters of the preceding
+        Activation1d instead of applying it)."""
         k, cin = self.kernel_size, x.shape[-1]
         kernel_init = (
             _normal_init(self.init_std)
@@ -79,6 +83,20 @@ class WNConv1d(nn.Module):
         )
         norm = jnp.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
         kernel = v * (g[None, None, :] / jnp.maximum(norm, 1e-12))
+
+        if snake is not None:
+            from ..ops.snake_conv import fused_snake_conv
+
+            alpha, beta, logscale = snake
+            b = (
+                self.param("b", nn.initializers.zeros, (self.features,))
+                if self.use_bias
+                else jnp.zeros((self.features,), jnp.float32)
+            )
+            return fused_snake_conv(
+                x, alpha, beta, kernel.astype(self.dtype), b,
+                dilation=self.dilation, logscale=logscale,
+            )
 
         pad = get_padding(self.kernel_size, self.dilation)
         y = jax.lax.conv_general_dilated(
@@ -250,9 +268,14 @@ class Activation1d(nn.Module):
     use_fused: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x=None):
+        """``x=None`` creates the act parameters and returns the raw
+        (alpha, beta) pair — used by the fused snake→conv path, which
+        applies the activation inside the convolution kernel."""
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
         act = act_cls(self.channels, self.alpha_logscale, name="act")
+        if x is None:
+            return act(None)
         dev = jax.config.jax_default_device
         platform = dev.platform if dev is not None else jax.default_backend()
         fusable = (
@@ -281,6 +304,19 @@ class Activation1d(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _snake_conv_fusable(channels: int, kernel_size: int) -> bool:
+    """Gate for the fused snake→conv kernel: TPU platform (respecting a
+    CPU default_device, like the other Pallas gates) + full-lane square
+    channels (ops.snake_conv handles the 768/384-channel AMP stages)."""
+    from ..ops.snake_conv import snake_conv_eligible
+
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return platform == "tpu" and snake_conv_eligible(
+        channels, channels, kernel_size
+    )
+
+
 class AMPBlock1(nn.Module):
     """Pairs of (dilated conv, unit conv) with anti-aliased snake between
     (reference :31-147)."""
@@ -294,23 +330,29 @@ class AMPBlock1(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        fuse = _snake_conv_fusable(self.channels, self.kernel_size)
         for i, d in enumerate(self.dilation):
-            xt = Activation1d(
+            act_a = Activation1d(
                 self.channels, self.activation, self.alpha_logscale,
                 name=f"act{2 * i}",
-            )(x)
-            xt = WNConv1d(
+            )
+            conv_a = WNConv1d(
                 self.channels, self.kernel_size, dilation=d, init_std=0.01,
                 dtype=self.dtype, name=f"conv1_{i}",
-            )(xt)
-            xt = Activation1d(
+            )
+            act_b = Activation1d(
                 self.channels, self.activation, self.alpha_logscale,
                 name=f"act{2 * i + 1}",
-            )(xt)
-            xt = WNConv1d(
+            )
+            conv_b = WNConv1d(
                 self.channels, self.kernel_size, dilation=1, init_std=0.01,
                 dtype=self.dtype, name=f"conv2_{i}",
-            )(xt)
+            )
+            if fuse:
+                xt = conv_a(x, snake=act_a(None) + (self.alpha_logscale,))
+                xt = conv_b(xt, snake=act_b(None) + (self.alpha_logscale,))
+            else:
+                xt = conv_b(act_b(conv_a(act_a(x))))
             x = xt + x
         return x
 
@@ -327,14 +369,19 @@ class AMPBlock2(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        fuse = _snake_conv_fusable(self.channels, self.kernel_size)
         for i, d in enumerate(self.dilation):
-            xt = Activation1d(
+            act = Activation1d(
                 self.channels, self.activation, self.alpha_logscale, name=f"act{i}"
-            )(x)
-            xt = WNConv1d(
+            )
+            conv = WNConv1d(
                 self.channels, self.kernel_size, dilation=d, init_std=0.01,
                 dtype=self.dtype, name=f"conv_{i}",
-            )(xt)
+            )
+            if fuse:
+                xt = conv(x, snake=act(None) + (self.alpha_logscale,))
+            else:
+                xt = conv(act(x))
             x = xt + x
         return x
 
