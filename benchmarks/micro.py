@@ -557,6 +557,64 @@ def bench_voc_stages(reps=10):
               f"conv(k3,d3) {1e3 * dt_c / reps:7.3f} ms")
 
 
+def bench_snakeconv(reps=10):
+    """Fused snake→conv kernel vs the (fused act, XLA conv) pair at the
+    production MXU-stage shapes, per kernel size."""
+    from diffbinaural_tpu.models import bigvgan as bv
+    from diffbinaural_tpu.ops.alias_free_act import fused_alias_free_snake
+    from diffbinaural_tpu.ops.snake_conv import fused_snake_conv
+
+    tpu = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    for t, c in ((3444, 768), (13776, 384)):
+        x = jax.device_put(
+            jnp.asarray(rng.standard_normal((2, t, c)), jnp.bfloat16), tpu
+        )
+        a = jax.device_put(jnp.zeros((c,)), tpu)
+        b = jax.device_put(jnp.zeros((c,)), tpu)
+        for k in (3, 7, 11):
+            kern = jax.device_put(
+                jnp.asarray(rng.standard_normal((k, c, c)) * 0.02,
+                            jnp.bfloat16), tpu
+            )
+            bias = jax.device_put(jnp.zeros((c,)), tpu)
+
+            @jax.jit
+            def fused_loop(x, a_, b_, w_, bb_):
+                def body(carry, i):
+                    y = fused_snake_conv(
+                        x + carry.astype(x.dtype), a_, b_, w_, bb_,
+                        dilation=3,
+                    )
+                    return jnp.float32(jnp.sum(y)) * 1e-12, ()
+
+                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+                return acc
+
+            @jax.jit
+            def pair_loop(x, a_, b_, w_, bb_):
+                def body(carry, i):
+                    z = fused_alias_free_snake(
+                        x + carry.astype(x.dtype), a_, b_, True
+                    )
+                    pad = (k - 1) // 2 * 3
+                    y = jax.lax.conv_general_dilated(
+                        z, w_, window_strides=(1,), padding=((pad, pad),),
+                        rhs_dilation=(3,),
+                        dimension_numbers=("NHC", "HIO", "NHC"),
+                    ) + bb_
+                    return jnp.float32(jnp.sum(y)) * 1e-12, ()
+
+                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+                return acc
+
+            dt_f = timed(fused_loop, x, a, b, kern, bias)
+            dt_p = timed(pair_loop, x, a, b, kern, bias)
+            print(f"T={t:6d} C={c:4d} k={k:2d}: fused "
+                  f"{1e3 * dt_f / reps:7.3f} ms   act+xla-conv "
+                  f"{1e3 * dt_p / reps:7.3f} ms")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("unet", "all"):
@@ -584,6 +642,8 @@ if __name__ == "__main__":
         bench_train1()
     if which in ("train2",):
         bench_train2()
+    if which in ("snakeconv",):
+        bench_snakeconv()
     if which in ("actnarrow",):
         bench_act_narrow(t=220416, c=24)
         bench_act_narrow(t=110208, c=48)
