@@ -55,6 +55,7 @@ class BinauralPipeline:
         unet_batch: int = 8,
         sampling_timesteps: int = 25,
         diffusion: Optional[GaussianDiffusion] = None,
+        fuse_vocoder: bool = True,
     ):
         self.unet_apply = unet_apply
         self.voc_apply = voc_apply
@@ -89,7 +90,20 @@ class BinauralPipeline:
             count[s + lo : s + hi] += 1.0
         self._inv_count = jnp.asarray(1.0 / np.clip(count, 1.0, None))
 
-        self._run = jax.jit(self._impl)
+        # fuse_vocoder=False splits the program at the stitched mel — two
+        # dispatches per clip instead of one.  Escape hatch for compile-time
+        # pathologies in very large single programs; same math either way.
+        self.fuse_vocoder = fuse_vocoder
+        if fuse_vocoder:
+            self._run = jax.jit(self._impl)
+        else:
+            self._run_mel = jax.jit(self._impl_mel)
+            self._run_voc = jax.jit(
+                lambda vp, mel: self.voc_apply(vp, mel)
+            )
+            self._run = lambda up, vp, mono, feats, key: self._run_voc(
+                vp, self._run_mel(up, mono, feats, key)
+            )
 
     # ---- traced pipeline --------------------------------------------------
 
@@ -125,6 +139,11 @@ class BinauralPipeline:
         return mel * self._inv_count[None, None, :]
 
     def _impl(self, unet_params, voc_params, mono_full, feats, key):
+        return self.voc_apply(
+            voc_params, self._impl_mel(unet_params, mono_full, feats, key)
+        )
+
+    def _impl_mel(self, unet_params, mono_full, feats, key):
         wins = self._make_windows(mono_full)
         wins_g = wins.reshape(
             (self.n_batches, self.unet_batch) + wins.shape[1:]
@@ -141,7 +160,7 @@ class BinauralPipeline:
 
         _, preds = jax.lax.scan(body, None, (wins_g, feat_g, keys))
         preds = preds.reshape((self.n_slots,) + preds.shape[2:])
-        return self.voc_apply(voc_params, self._stitch(preds))
+        return self._stitch(preds)
 
     # ---- host API ---------------------------------------------------------
 

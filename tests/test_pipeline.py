@@ -54,6 +54,19 @@ def test_make_windows_slices_and_pads():
     np.testing.assert_array_equal(wins[3], wins[2])
 
 
+def test_two_dispatch_mode_matches_fused():
+    """fuse_vocoder=False (compile-size escape hatch) must be bit-identical
+    to the single-program path."""
+    total = 130
+    mono = jnp.full((1, 80, total), -6.0)
+    feat = jnp.zeros((3, 512))
+    p1 = _dummy_pipe(total, unet_batch=2)
+    p2 = _dummy_pipe(total, unet_batch=2, fuse_vocoder=False)
+    w1 = np.asarray(p1(None, None, mono, feat))
+    w2 = np.asarray(p2(None, None, mono, feat))
+    np.testing.assert_array_equal(w1, w2)
+
+
 def test_pipeline_end_to_end_tiny():
     from diffbinaural_tpu.core.config import VocoderConfig
     from diffbinaural_tpu.models import AudioVisualModel
