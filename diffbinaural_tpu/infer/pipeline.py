@@ -29,6 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..diffusion import GaussianDiffusion
 from .stage1 import denormalize_mel, normalize_mel, window_starts
@@ -56,7 +57,14 @@ class BinauralPipeline:
         sampling_timesteps: int = 25,
         diffusion: Optional[GaussianDiffusion] = None,
         fuse_vocoder: bool = True,
+        mesh: Optional[Mesh] = None,
     ):
+        """With ``mesh``, the whole window batch runs as ONE DDIM scan
+        sharded over the mesh 'data' axis (each chip denoises
+        n_slots/n_data windows; XLA inserts the gather the stitch needs
+        over ICI).  Pass vocoder params through
+        ``parallel.shard_vocoder_params`` to channel-shard stage 2 over
+        'model' as well.  unet_batch is ignored under a mesh."""
         self.unet_apply = unet_apply
         self.voc_apply = voc_apply
         self.total_frames = total_frames
@@ -72,9 +80,16 @@ class BinauralPipeline:
 
         self.starts = window_starts(total_frames, window, stride)
         self.n_windows = len(self.starts)
-        self.n_batches = -(-self.n_windows // unet_batch)
-        self.n_slots = self.n_batches * unet_batch
-        self.unet_batch = unet_batch
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            self.n_batches = 1
+            self.n_slots = -(-self.n_windows // n_data) * n_data
+            self.unet_batch = self.n_slots
+        else:
+            self.n_batches = -(-self.n_windows // unet_batch)
+            self.n_slots = self.n_batches * unet_batch
+            self.unet_batch = unet_batch
 
         # per-window kept span (reference test_realBinaural.py:199-205:
         # 8-frame edge crop, middle half for short segments)
@@ -145,6 +160,13 @@ class BinauralPipeline:
 
     def _impl_mel(self, unet_params, mono_full, feats, key):
         wins = self._make_windows(mono_full)
+        if self.mesh is not None:  # windows sharded over the 'data' axis
+            wins = jax.lax.with_sharding_constraint(
+                wins, NamedSharding(self.mesh, P("data", None, None, None))
+            )
+            feats = jax.lax.with_sharding_constraint(
+                feats, NamedSharding(self.mesh, P("data", None))
+            )
         wins_g = wins.reshape(
             (self.n_batches, self.unet_batch) + wins.shape[1:]
         )

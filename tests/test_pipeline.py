@@ -67,6 +67,32 @@ def test_two_dispatch_mode_matches_fused():
     np.testing.assert_array_equal(w1, w2)
 
 
+def test_pipeline_sharded_matches_unsharded():
+    """With a mesh, all windows run in ONE sharded DDIM group; same math as
+    the unsharded single-group pipeline (identical rng folding)."""
+    from diffbinaural_tpu.parallel import make_mesh
+
+    total = 130  # 3 windows → n_slots=4 on a 4-wide data axis
+    mesh = make_mesh(8, model_parallel=2, devices=jax.devices("cpu")[:8])
+    mono = jnp.full((1, 80, total), -6.0) + 0.3 * jnp.sin(
+        jnp.arange(total) / 7.0
+    )
+    feat = jnp.zeros((3, 512))
+
+    p_ref = _dummy_pipe(total, unet_batch=4)  # one group of 4 slots
+    p_sh = BinauralPipeline(
+        unet_apply=lambda p, x, t, c: x,
+        voc_apply=lambda p, mel: mel,
+        total_frames=total,
+        sampling_timesteps=2,
+        mesh=mesh,
+    )
+    assert p_sh.n_slots == 4 and p_sh.n_batches == 1
+    want = np.asarray(p_ref(None, None, mono, feat))
+    got = np.asarray(p_sh(None, None, mono, feat))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_pipeline_end_to_end_tiny():
     from diffbinaural_tpu.core.config import VocoderConfig
     from diffbinaural_tpu.models import AudioVisualModel
