@@ -100,6 +100,24 @@ def test_fused_snake_conv_gradients():
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
 
 
+def test_fused_snake_conv_bf16_close_to_fp32():
+    """bf16 inputs run the lattice + conv matmuls in bf16 (fp32 accum);
+    output must stay within bf16 rounding of the fp32 path."""
+    c, t, k, d = 128, 256, 3, 1
+    x, alpha, beta, kernel, bias = _world(c, t, k, seed=7)
+    got32 = np.asarray(
+        fused_snake_conv(x, alpha, beta, kernel, bias, dilation=d)
+    )
+    got16 = np.asarray(
+        fused_snake_conv(
+            x.astype(jnp.bfloat16), alpha, beta,
+            kernel.astype(jnp.bfloat16), bias, dilation=d,
+        )
+    ).astype(np.float32)
+    scale = np.abs(got32).max() + 1e-6
+    np.testing.assert_allclose(got16 / scale, got32 / scale, atol=0.04)
+
+
 def test_amp_block_fused_matches_unfused(monkeypatch):
     """Model-level: AMPBlock1 with the fused gate forced on must match the
     unfused composition on identical params (interior tolerance)."""
