@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..diffusion import GaussianDiffusion
-from .stage1 import denormalize_mel, normalize_mel, window_starts
+from .stage1 import MEL_MIN, denormalize_mel, normalize_mel, window_starts
 
 
 class BinauralPipeline:
@@ -200,6 +200,13 @@ class BinauralPipeline:
         (2, 1, T·hop) squeezed to (2, T·hop)."""
         if rng is None:
             rng = jax.random.PRNGKey(13)
+        mono_mel_full = jnp.asarray(mono_mel_full)
+        if mono_mel_full.shape[2] < self.window:  # pad short clips
+            mono_mel_full = jnp.pad(
+                mono_mel_full,
+                ((0, 0), (0, 0), (0, self.window - mono_mel_full.shape[2])),
+                constant_values=MEL_MIN,
+            )
         feats = jnp.asarray(visual_feats)
         if feats.ndim == 1:
             feats = jnp.broadcast_to(feats, (self.n_slots, feats.shape[0]))
@@ -209,6 +216,7 @@ class BinauralPipeline:
             )
             feats = jnp.concatenate([feats, pad], axis=0)
         wav = self._run(
-            unet_params, voc_params, jnp.asarray(mono_mel_full), feats, rng
+            unet_params, voc_params, mono_mel_full, feats, rng
         )
-        return wav[:, 0] if wav.ndim == 3 else wav
+        # BigVGAN emits (B, 1, samples); drop the unit channel axis
+        return wav[:, 0] if wav.ndim == 3 and wav.shape[1] == 1 else wav

@@ -67,6 +67,19 @@ def test_two_dispatch_mode_matches_fused():
     np.testing.assert_array_equal(w1, w2)
 
 
+def test_short_clip_pads_to_one_window():
+    """Clips shorter than one window pad with MEL_MIN (generate_clip's
+    convention) and produce a middle-half-stitched result."""
+    total = 20  # < window=80 → single padded window, 8-frame crop → [8, 12)
+    pipe = _dummy_pipe(total, unet_batch=1)
+    assert pipe.starts == [0] and pipe._spans == [(8, 12)]
+    mono = jnp.full((1, 80, total), -6.0)
+    out = np.asarray(pipe(None, None, mono, jnp.zeros((512,))))
+    assert out.shape == (2, 80, total)
+    assert np.isfinite(out).all()
+    assert (out[:, :, :8] == 0).all() and (out[:, :, 12:] == 0).all()
+
+
 def test_pipeline_sharded_matches_unsharded():
     """With a mesh, all windows run in ONE sharded DDIM group; same math as
     the unsharded single-group pipeline (identical rng folding)."""
