@@ -22,6 +22,7 @@ CLI_MODULES = [
     "inference_diffbinaural_mels",
     "evaluate_binaural_22050",
     "evaluate_mel_spectrogram_rmse",
+    "generate_binaural",
 ]
 
 
