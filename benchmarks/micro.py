@@ -129,6 +129,50 @@ def bench_attn(n=6400, heads=4, d=32, batch=8, reps=20):
     print(f"sdpa n={n} b={batch} h={heads} d={d}: {1e3 * dt / reps:.2f} ms")
 
 
+def bench_flash_sweep(n=6400, heads=4, d=32, batch=8, reps=20):
+    """Sweep the d=32 single-pass kernel's (bq, chunks) geometry — more
+    chunks give the Mosaic scheduler finer MXU/VPU interleave (exp of
+    chunk i hides under the matmul of chunk i+1); bigger bq amortises the
+    K/V panel re-reads.  Run on the real chip to pick the default in
+    ops/flash_d32._fwd."""
+    from diffbinaural_tpu.ops import flash_d32
+
+    tpu = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    mk = lambda: jax.device_put(
+        jnp.asarray(rng.standard_normal((batch, heads, n, d)), jnp.bfloat16),
+        tpu,
+    )
+    q, k, v = mk(), mk(), mk()
+
+    def run(bq, chunks, residuals):
+        @jax.jit
+        def loop(q, k, v):
+            def body(carry, i):
+                o, _, _ = flash_d32._fwd(
+                    q + carry.astype(q.dtype), k, v, bq=bq, chunks=chunks,
+                    save_residuals=residuals,
+                )
+                return jnp.float32(jnp.sum(o)) * 1e-9, ()
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+            return acc
+
+        tag = f"bq={bq:4d} chunks={chunks} resid={int(residuals)}"
+        try:
+            dt = timed(loop, q, k, v)
+            print(f"  {tag}: {1e3 * dt / reps:.2f} ms")
+        except Exception as e:
+            print(f"  {tag}: FAILED {type(e).__name__} {str(e)[:80]}")
+
+    print(f"flash_d32 sweep  n={n} b={batch} h={heads} d={d}")
+    for residuals in (False, True):
+        for bq in (128, 256, 512):
+            for chunks in (1, 2, 4, 5, 8, 10):
+                if n % chunks == 0 and (n // chunks) % 8 == 0:
+                    run(bq, chunks, residuals)
+
+
 def bench_attn_blocks(n=6400, heads=4, d=32, batch=8, reps=20):
     """Sweep flash BlockSizes / padding for the N=6400 UNet grids."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -632,6 +676,8 @@ if __name__ == "__main__":
         bench_unet_ablate()
     if which in ("attnblocks",):
         bench_attn_blocks()
+    if which in ("flashsweep",):
+        bench_flash_sweep()
     if which in ("flashcheck",):
         check_flash_correctness()
     if which in ("vocablate",):
@@ -644,6 +690,13 @@ if __name__ == "__main__":
         bench_train2()
     if which in ("snakeconv",):
         bench_snakeconv()
+    if which in ("unetbatch",):
+        # root-cause the "one batch of 24 windows slower than 3x8" anomaly
+        # (VERDICT r1 next-steps #2b): sweep the window batch and report
+        # per-window throughput — linear scaling means stage-1 should run
+        # all 21 windows of a 10 s clip in ONE batched DDIM scan.
+        for b in (4, 8, 12, 16, 21, 24, 32):
+            bench_unet(batch=b)
     if which in ("actnarrow",):
         bench_act_narrow(t=220416, c=24)
         bench_act_narrow(t=110208, c=48)
