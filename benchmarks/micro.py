@@ -167,7 +167,9 @@ def bench_flash_sweep(n=6400, heads=4, d=32, batch=8, reps=20):
 
     print(f"flash_d32 sweep  n={n} b={batch} h={heads} d={d}")
     for residuals in (False, True):
-        for bq in (128, 256, 512):
+        for bq in (128, 256, 320, 640):
+            if n % bq != 0:  # floor-div grid would drop query rows
+                continue
             for chunks in (1, 2, 4, 5, 8, 10):
                 if n % chunks == 0 and (n // chunks) % 8 == 0:
                     run(bq, chunks, residuals)

@@ -140,6 +140,7 @@ class Stage1Trainer:
             (mel, jnp.zeros((1, 512)), jnp.zeros_like(target)),
         )
         frame_params = self._maybe_load_frame_weights(frame_params)
+        unet_params = self._maybe_load_unet_weights(unet_params)
         params = {"frame": frame_params, "unet": unet_params}
         self.state = self._init_fn(params)
 
@@ -149,8 +150,12 @@ class Stage1Trainer:
         additionally torchvision-``pretrained=True`` — a torchvision state
         dict given here grafts onto the trunk the same way)."""
         path = getattr(self.args, "weights_frame", "")
-        if not path or not os.path.exists(path):
+        if not path:
             return frame_params
+        if not os.path.exists(path):
+            # the reference's torch.load raises immediately; silently
+            # training from random init would waste the whole run
+            raise FileNotFoundError(f"--weights_frame {path!r} not found")
         from ..core import checkpoint as ckpt
 
         if (
@@ -162,6 +167,19 @@ class Stage1Trainer:
             return ckpt.graft_resnet18_trunk(frame_params, path)
         print(f"loading frame-encoder checkpoint {path}")
         return ckpt.load_checkpoint(path, target=frame_params)
+
+    def _maybe_load_unet_weights(self, unet_params):
+        """--weights_unet warm start (reference models.py:38-43 loads
+        ``weights`` into the UNet at build time)."""
+        path = getattr(self.args, "weights_unet", "")
+        if not path:
+            return unet_params
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"--weights_unet {path!r} not found")
+        from ..core import checkpoint as ckpt
+
+        print(f"loading unet checkpoint {path}")
+        return ckpt.load_checkpoint(path, target=unet_params)
 
     def _prep_batch(self, batch) -> Dict:
         out = {

@@ -86,9 +86,26 @@ def _orbax_save(path: str, pytree: Any):
         shutil.rmtree(old)
 
 
+def _orbax_recover(path: str):
+    """Close _orbax_save's one non-atomic window: a crash between its two
+    renames leaves no directory at ``path`` but a COMPLETE new checkpoint
+    at ``.ocp-tmp`` (the save finalised before any rename ran) and the
+    previous one at ``.ocp-old``.  Restore the newest complete candidate."""
+    if os.path.isdir(path):
+        return
+    tmp, old = path + ".ocp-tmp", path + ".ocp-old"
+    if os.path.isdir(tmp) and os.path.isdir(old):
+        # only the rename window produces this pair with ``path`` missing;
+        # tmp is the finalised newer save
+        os.rename(tmp, path)
+    elif os.path.isdir(old):
+        os.rename(old, path)
+
+
 def _orbax_load(path: str, target: Optional[Any] = None) -> Any:
     import orbax.checkpoint as ocp
 
+    _orbax_recover(os.path.abspath(path))
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.abspath(path))
     if target is not None:
@@ -107,6 +124,8 @@ def __np(tree):
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    if not os.path.exists(path):
+        _orbax_recover(os.path.abspath(path))  # interrupted orbax swap?
     if os.path.isdir(path):  # Orbax checkpoints are directories
         return _orbax_load(path, target)
     with open(path, "rb") as f:
@@ -122,7 +141,10 @@ def scan_checkpoint(cp_dir: str, prefix: str,
     (reference utils.py:97-114: e.g. ``bigvgan_generator.pt`` /
     ``bigvgan_discriminator_optimizer.pt``)."""
     pattern = os.path.join(cp_dir, prefix + "*")
-    cps = [p for p in glob.glob(pattern) if not p.endswith(".tmp")]
+    cps = [
+        p for p in glob.glob(pattern)
+        if not p.endswith((".tmp", ".ocp-tmp", ".ocp-old"))
+    ]
     if cps:
         return sorted(cps)[-1]
     if renamed_file:

@@ -32,7 +32,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..diffusion import GaussianDiffusion
-from .stage1 import MEL_MIN, denormalize_mel, normalize_mel, window_starts
+from .stage1 import (
+    MEL_MIN,
+    crop_spans,
+    denormalize_mel,
+    normalize_mel,
+    window_starts,
+)
 
 
 class BinauralPipeline:
@@ -91,17 +97,12 @@ class BinauralPipeline:
             self.n_slots = self.n_batches * unet_batch
             self.unet_batch = unet_batch
 
-        # per-window kept span (reference test_realBinaural.py:199-205:
-        # 8-frame edge crop, middle half for short segments)
-        self._spans = []
+        # per-window kept span — the same rule as the host path, via the
+        # shared helper (reference test_realBinaural.py:199-205)
+        self._spans = crop_spans(self.starts, total_frames, window,
+                                 crop_frames)
         count = np.zeros((total_frames,), np.float32)
-        for s in self.starts:
-            t = min(window, total_frames - s)
-            if t > 2 * crop_frames:
-                lo, hi = crop_frames, t - crop_frames
-            else:
-                lo, hi = t // 4, t - t // 4
-            self._spans.append((lo, hi))
+        for s, (lo, hi) in zip(self.starts, self._spans):
             count[s + lo : s + hi] += 1.0
         self._inv_count = jnp.asarray(1.0 / np.clip(count, 1.0, None))
 
@@ -201,6 +202,14 @@ class BinauralPipeline:
         if rng is None:
             rng = jax.random.PRNGKey(13)
         mono_mel_full = jnp.asarray(mono_mel_full)
+        if mono_mel_full.shape[2] != self.total_frames:
+            # a mismatched clip would make dynamic_slice clamp the late
+            # window starts and silently stitch predictions at wrong
+            # positions — fail loudly instead
+            raise ValueError(
+                f"clip has {mono_mel_full.shape[2]} frames; this pipeline "
+                f"was built for total_frames={self.total_frames}"
+            )
         if mono_mel_full.shape[2] < self.window:  # pad short clips
             mono_mel_full = jnp.pad(
                 mono_mel_full,
@@ -210,11 +219,18 @@ class BinauralPipeline:
         feats = jnp.asarray(visual_feats)
         if feats.ndim == 1:
             feats = jnp.broadcast_to(feats, (self.n_slots, feats.shape[0]))
-        elif feats.shape[0] != self.n_slots:  # pad with the last window's
+        elif feats.shape[0] == self.n_slots:
+            pass
+        elif feats.shape[0] == self.n_windows:  # pad with the last window's
             pad = jnp.broadcast_to(
                 feats[-1:], (self.n_slots - feats.shape[0], feats.shape[1])
             )
             feats = jnp.concatenate([feats, pad], axis=0)
+        else:
+            raise ValueError(
+                f"visual_feats has {feats.shape[0]} rows; expected "
+                f"n_windows={self.n_windows} (or (512,) shared)"
+            )
         wav = self._run(
             unet_params, voc_params, mono_mel_full, feats, rng
         )

@@ -102,6 +102,25 @@ def window_starts(total_frames: int, window: int = 80, stride: int = 40):
     return starts
 
 
+def crop_spans(starts, total_frames: int, window: int = 80,
+               crop_frames: int = 8):
+    """Per-window kept span ``(lo, hi)`` within the window — the reference's
+    8-frame edge crop, middle half for short segments
+    (test_realBinaural.py:177-205).  Shared by the host path
+    (:func:`generate_clip`) and the fused device path
+    (infer.pipeline.BinauralPipeline) so the parity-critical rule cannot
+    drift between them."""
+    spans = []
+    for s in starts:
+        t = min(window, total_frames - s)
+        if t > 2 * crop_frames:
+            lo, hi = crop_frames, t - crop_frames
+        else:
+            lo, hi = t // 4, t - t // 4
+        spans.append((lo, hi))
+    return spans
+
+
 def generate_clip(
     sampler: Stage1Sampler,
     params,
@@ -146,13 +165,8 @@ def generate_clip(
 
     mel = np.zeros((2, m, total), dtype=np.float32)
     count = np.zeros((2, m, total), dtype=np.float32)
-    for s, pred in zip(starts, preds):
-        t = min(window, total - s)
-        pred = pred[:, :, :t]
-        if t > 2 * crop_frames:
-            lo, hi = crop_frames, t - crop_frames
-        else:  # short segment: keep the middle half (reference :199-205)
-            lo, hi = t // 4, t - t // 4
+    for s, (lo, hi), pred in zip(starts, crop_spans(starts, total, window,
+                                                    crop_frames), preds):
         mel[:, :, s + lo : s + hi] += pred[:, :, lo:hi]
         count[:, :, s + lo : s + hi] += 1.0
     return mel / np.clip(count, 1.0, None)

@@ -219,6 +219,14 @@ def fused_snake_conv(x, alpha, beta, kernel, bias, *, dilation: int = 1,
     x: (B, T, C); alpha/beta: (C,) raw snake parameters (log-space when
     ``logscale``); kernel: (k, C, C) already weight-normed; bias: (C,).
     Callers must check :func:`snake_conv_eligible` first."""
+    k, c_in, c_out = kernel.shape
+    if not snake_conv_eligible(c_in, c_out, k) or x.shape[-1] != c_in:
+        # an ineligible shape would silently compute the wrong conv
+        # (the kernel assumes square full-lane channels, odd taps, stride 1)
+        raise ValueError(
+            f"fused_snake_conv: ineligible shapes x={x.shape} "
+            f"kernel={kernel.shape}; check snake_conv_eligible() first"
+        )
     alpha_eff = jnp.exp(alpha) if logscale else alpha
     beta_eff = jnp.exp(beta) if logscale else beta
     return _core(x, alpha_eff, beta_eff, kernel, bias, dilation)

@@ -164,11 +164,13 @@ def make_stage2_train_step(
 
         # ---- D phase on detached generator output (reference :1025-1059)
         y = batch["audio"][:, None, :]
-        y_hat_sg = jax.lax.stop_gradient(
-            gen_apply(state.gen_params, batch["mel"])
-        )
 
         def d_phase(disc_params, disc_opt):
+            # the detached forward lives INSIDE the phase so the freeze
+            # cond below skips the generator work too, not just the towers
+            y_hat_sg = jax.lax.stop_gradient(
+                gen_apply(state.gen_params, batch["mel"])
+            )
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
                 disc_params, y, y_hat_sg
             )

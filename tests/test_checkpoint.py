@@ -230,6 +230,41 @@ def test_orbax_overwrite_is_crash_safe(tmp_path, monkeypatch):
     np.testing.assert_array_equal(ckpt.load_checkpoint(path)["w"], tree["w"])
 
 
+def test_orbax_rename_window_recovers_newest(tmp_path):
+    """A crash BETWEEN _orbax_save's two renames leaves no dir at ``path``
+    but a complete new save at .ocp-tmp and the previous at .ocp-old —
+    load_checkpoint must recover the newest; scan must never return the
+    sibling dirs."""
+    from diffbinaural_tpu.core import checkpoint as ckpt
+
+    path = str(tmp_path / "g_00000001")
+    # reconstruct the window: previous save at .ocp-old, the newest
+    # (finalised) save at .ocp-tmp, nothing at path
+    ckpt.save_checkpoint(path, {"w": np.ones(4, np.float32)},
+                         backend="orbax")
+    os.rename(path, path + ".ocp-old")
+    stage = str(tmp_path / "stage")
+    ckpt.save_checkpoint(stage, {"w": np.full(4, 2.0, np.float32)},
+                         backend="orbax")
+    os.rename(stage, path + ".ocp-tmp")
+
+    assert ckpt.scan_checkpoint(str(tmp_path), "g_") is None
+    restored = ckpt.load_checkpoint(path)  # triggers recovery
+    np.testing.assert_array_equal(restored["w"], np.full(4, 2.0))
+    assert os.path.isdir(path)
+    assert ckpt.scan_checkpoint(str(tmp_path), "g_") == path
+
+    # old-only window (crash after the tmp rename completed): previous
+    # checkpoint comes back
+    import shutil
+
+    shutil.rmtree(path + ".ocp-old")  # left in place by the recovery above
+    os.rename(path, path + ".ocp-old")
+    np.testing.assert_array_equal(
+        ckpt.load_checkpoint(path)["w"], np.full(4, 2.0)
+    )
+
+
 def test_unknown_backend_raises(tmp_path):
     from diffbinaural_tpu.core import checkpoint as ckpt
 

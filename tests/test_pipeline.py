@@ -145,3 +145,21 @@ def test_pipeline_end_to_end_tiny():
     np.testing.assert_array_equal(np.asarray(wav), np.asarray(wav2))
     wav3 = pipe(unet_params, voc_params, mono, feat, jax.random.PRNGKey(7))
     assert not np.array_equal(np.asarray(wav), np.asarray(wav3))
+
+
+def test_mismatched_inputs_raise():
+    """A clip whose length differs from the compiled total_frames (or a
+    feats array with a wrong row count) must fail loudly — dynamic_slice
+    would clamp the late window starts and silently stitch predictions at
+    wrong positions."""
+    import pytest
+
+    pipe = _dummy_pipe(160)
+    good = jnp.full((1, 80, 160), -6.0)
+    feat = jnp.zeros((512,))
+    pipe(None, None, good, feat)  # sanity: correct shapes pass
+
+    with pytest.raises(ValueError, match="total_frames"):
+        pipe(None, None, jnp.full((1, 80, 150), -6.0), feat)
+    with pytest.raises(ValueError, match="visual_feats"):
+        pipe(None, None, good, jnp.zeros((pipe.n_slots + 1, 512)))
