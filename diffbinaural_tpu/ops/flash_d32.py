@@ -52,8 +52,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
                 *, n_valid, n_pad, chunks):
     """l_ref/m_ref are None for the inference variant — softmax residuals
     are only materialised when the VJP needs them (they are ~100 MB of HBM
-    writes per UNet-sized call)."""
+    writes per UNet-sized call).  In that variant the wrapper appends a
+    ones-column to v, so the rowsum l rides the PV matmul (the MXU output
+    tile is ≤128 lanes either way — the column is free) instead of costing
+    a full VPU reduction pass over the score strip."""
     q = q_ref[0, 0]  # (bq, d)
+    d = q.shape[-1]
+    fold_l = l_ref is None and v_ref.shape[-1] == d + 1
     cw = n_pad // chunks
     outs, maxes, sums = [], [], []
     for ci in range(chunks):
@@ -66,24 +71,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             s = s + jnp.where(col < n_valid, 0.0, DEFAULT_MASK_VALUE)
         m_c = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m_c)
-        l_c = jnp.sum(p, axis=1, keepdims=True)
+        if not fold_l:
+            sums.append(jnp.sum(p, axis=1, keepdims=True))
         v_c = v_ref[0, 0, ci * cw:(ci + 1) * cw, :]
         o_c = jax.lax.dot(
             p.astype(v_c.dtype), v_c, preferred_element_type=jnp.float32
-        )  # (bq, d)
+        )  # (bq, d) — or (bq, d+1) with l in the last column
         outs.append(o_c)
         maxes.append(m_c)
-        sums.append(l_c)
 
     if chunks == 1:
-        m_all, l_all, o = maxes[0], sums[0], outs[0]
+        m_all, o = maxes[0], outs[0]
+        l_all = o[:, d:] if fold_l else sums[0]
     else:
         m_all = functools.reduce(jnp.maximum, maxes)
         scales = [jnp.exp(m_c - m_all) for m_c in maxes]
-        l_all = sum(s_ * l_c for s_, l_c in zip(scales, sums))
         o = sum(o_c * s_ for o_c, s_ in zip(outs, scales))
+        if fold_l:
+            l_all = o[:, d:]
+        else:
+            l_all = sum(s_ * l_c for s_, l_c in zip(scales, sums))
 
-    o = o * (1.0 / l_all)
+    o = o[:, :d] * (1.0 / l_all) if fold_l else o * (1.0 / l_all)
     o_ref[0, 0] = o.astype(o_ref.dtype)
     if l_ref is not None:
         bq = q.shape[0]
@@ -117,15 +126,22 @@ def _fwd(q, k, v, bq: int | None = None, chunks: int | None = None,
     body = functools.partial(_fwd_kernel, n_valid=n, n_pad=n_pad,
                              chunks=chunks)
     if not save_residuals:
+        # ones-column v: the rowsum l rides the PV matmul (see _fwd_kernel)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
+        )
+        va_spec = pl.BlockSpec(
+            (1, 1, n_pad, d + 1), lambda bi, hi, qi: (bi, hi, 0, 0)
+        )
         kern = lambda q_, k_, v_, o_: body(q_, k_, v_, o_, None, None)
         o = pl.pallas_call(
             kern,
             grid=grid,
             out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), q.dtype),
-            in_specs=[qb_spec, kv_spec, kv_spec],
+            in_specs=[qb_spec, kv_spec, va_spec],
             out_specs=qb_spec,
             interpret=interpret,
-        )(q, k, v)
+        )(q, k, v_aug)
         return o[:, :, :n, :], None, None
     o, l, m = pl.pallas_call(
         body,
