@@ -1,0 +1,44 @@
+#!/bin/bash
+# TPU measurement runbook — run top-to-bottom when the tunnel is up.
+# Each step logs to /tmp/tpu_logs/; review between steps before changing
+# kernel defaults.  Do NOT run pytest concurrently (host contention has
+# corrupted e2e numbers by 4.5x — see CLAUDE.md).
+set -u
+mkdir -p /tmp/tpu_logs
+cd /root/repo
+
+run() {  # run <tag> <timeout_s> <cmd...>
+  local tag=$1 t=$2; shift 2
+  echo "=== $tag ($(date -u +%H:%M:%SZ)) ==="
+  timeout "$t" "$@" 2>&1 | tee "/tmp/tpu_logs/$tag.log" | tail -40
+  echo "=== $tag done rc=$? ==="
+}
+
+# 0. backend probe (90 s guard against the 28-min-hang failure mode)
+run probe 90 python -u -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((128,128)))))" || exit 1
+
+# 1. act kernel v4 (padless tiles) + fused snake-conv: Mosaic compile +
+#    numbers on production vocoder stages
+run snakeconv 1200 python -u benchmarks/micro.py snakeconv
+run act 1200 python -u benchmarks/micro.py act
+
+# 2. vocoder end-to-end (act v4 + snake_conv fusion in place)
+run vocoder 1200 python -u benchmarks/micro.py vocoder
+
+# 3. flash d=32: correctness (ones-column fwd + stock bwd), then geometry
+run flashcheck 900 python -u benchmarks/micro.py flashcheck
+run flashsweep 1800 python -u benchmarks/micro.py flashsweep
+
+# 4. UNet step + batch sweep (the 3x8-vs-24 anomaly)
+run unet 900 python -u benchmarks/micro.py unet
+run unetbatch 2400 python -u benchmarks/micro.py unetbatch
+
+# 5. training steps (scan-amortised, all leaves touched)
+run train1 1800 python -u benchmarks/micro.py train1
+run train2 1800 python -u benchmarks/micro.py train2
+
+# 6. the headline number (single-graph compile time is the open risk;
+#    if compile stalls >15 min, retry with the two-dispatch pipeline)
+run bench 2400 python -u bench.py
+
+echo "ALL DONE $(date -u +%H:%M:%SZ) — logs in /tmp/tpu_logs/"
