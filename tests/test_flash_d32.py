@@ -64,3 +64,19 @@ def test_padded_length_masks_tail():
     want = np.asarray(_dense(q, k, v, d**-0.5))
     assert got.shape == (b, h, n, d)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_masked_tail_with_chunked_inference_path():
+    """n = 2050 pads to 2176 and (being ≥ 2048) runs the 2-chunk inference
+    kernel with the ones-column rowsum — pad keys must not leak and the
+    chunk merge must stay exact."""
+    rng = np.random.default_rng(3)
+    b, h, n, d = 1, 2, 2050, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    got = np.asarray(flash_sdpa(q, k, v, d**-0.5))
+    want = np.asarray(_dense(q, k, v, d**-0.5))
+    assert got.shape == (b, h, n, d)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
