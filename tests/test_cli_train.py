@@ -181,3 +181,36 @@ def test_gan_trainer_steps_checkpoint_resume(tmp_path):
     g0 = jax.tree_util.tree_leaves(trainer.state.gen_params)
     g1 = jax.tree_util.tree_leaves(trainer2.state.gen_params)
     assert all(np.array_equal(x, y) for x, y in zip(g0, g1))
+
+
+def test_weights_warm_start_contracts(tmp_path):
+    """--weights_unet loads into the init'd tree; missing --weights_frame /
+    --weights_unet paths raise (the reference's torch.load would), instead
+    of silently training from random init."""
+    from types import SimpleNamespace
+
+    import numpy as np
+    import pytest
+
+    from diffbinaural_tpu.cli.common import Stage1Trainer
+    from diffbinaural_tpu.core import checkpoint as ckpt
+
+    params = {"w": np.zeros(3, np.float32)}
+    saved = {"w": np.arange(3, dtype=np.float32)}
+    p = str(tmp_path / "unet_best.pth")
+    ckpt.save_checkpoint(p, saved)
+
+    fake = SimpleNamespace(args=SimpleNamespace(weights_unet=p))
+    out = Stage1Trainer._maybe_load_unet_weights(fake, params)
+    np.testing.assert_array_equal(out["w"], saved["w"])
+
+    fake.args.weights_unet = ""
+    assert Stage1Trainer._maybe_load_unet_weights(fake, params) is params
+
+    fake.args.weights_unet = str(tmp_path / "nope.pth")
+    with pytest.raises(FileNotFoundError):
+        Stage1Trainer._maybe_load_unet_weights(fake, params)
+
+    fake.args.weights_frame = str(tmp_path / "nope2.pth")
+    with pytest.raises(FileNotFoundError):
+        Stage1Trainer._maybe_load_frame_weights(fake, params)
