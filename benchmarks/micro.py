@@ -481,7 +481,11 @@ def bench_train2(batch=16, reps=5):
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
     gen = BigVGAN(cfg, dtype=jnp.bfloat16)
-    mpd, mrd = build_discriminators(h)
+    # DISC_BF16=1 measures the opt-in bf16 discriminator-conv mode
+    mpd, mrd = build_discriminators(
+        h,
+        dtype=jnp.bfloat16 if os.environ.get("DISC_BF16") else jnp.float32,
+    )
     msl = MultiScaleMelSpectrogramLoss(h["sampling_rate"])
 
     def mel_fn(wav):

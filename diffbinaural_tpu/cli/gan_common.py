@@ -38,10 +38,20 @@ from ..train import make_stage2_train_step
 from ..utils import SummaryLogger
 
 
-def build_discriminators(h: AttrDict):
+def build_discriminators(h: AttrDict, dtype=jnp.float32):
+    """Config-driven discriminator pair (reference train_binaural_mel.py:445-453).
+
+    ``dtype`` is the CONV compute dtype only; the STFT/CQT spectral
+    frontends always run fp32 (``signal/stft.py`` casts frames to fp32
+    before the rfft, ``signal/cqt.py`` uses preferred_element_type=f32),
+    and the GAN/feature-matching losses upcast logits/fmaps to fp32
+    (``losses/gan.py``) — so bf16 here only touches the conv stacks.
+    Default fp32 matches the reference's AMP policy (the torch trainers
+    autocast the generator but run discriminators in fp32)."""
     mpd = MultiPeriodDiscriminator(
         periods=tuple(h.get("mpd_reshapes", [2, 3, 5, 7, 11])),
         channel_mult=h.get("discriminator_channel_mult", 1),
+        dtype=dtype,
     )
     if h.get("use_cqtd_instead_of_mrd", False):  # production path (json:23)
         mrd = MultiScaleSubbandCQTDiscriminator(
@@ -50,15 +60,18 @@ def build_discriminators(h: AttrDict):
             n_octaves=tuple(h.get("cqtd_n_octaves", [9, 9, 9])),
             bins_per_octaves=tuple(h.get("cqtd_bins_per_octaves", [24, 36, 48])),
             filters=h.get("cqtd_filters", 32),
+            dtype=dtype,
         )
     elif h.get("use_mbd_instead_of_mrd", False):
         mrd = MultiBandDiscriminator(
-            fft_sizes=tuple(h.get("mbd_fft_sizes", [2048, 1024, 512]))
+            fft_sizes=tuple(h.get("mbd_fft_sizes", [2048, 1024, 512])),
+            dtype=dtype,
         )
     else:
         mrd = MultiResolutionDiscriminator(
             resolutions=tuple(tuple(r) for r in h["resolutions"]),
             channel_mult=h.get("discriminator_channel_mult", 1),
+            dtype=dtype,
         )
     return mpd, mrd
 
@@ -72,7 +85,14 @@ class GanTrainer:
         # bf16 matmul policy (params fp32): the TPU-idiomatic mixed
         # precision — losses/normalisation stats stay fp32 in the modules
         self.gen = BigVGAN(self.cfg, dtype=compute_dtype)
-        self.mpd, self.mrd = build_discriminators(h)
+        # opt-in bf16 discriminator convs (config "discriminator_bf16").
+        # Audit: tests/test_disc_bf16.py bounds the logit error and the
+        # generator-gradient direction drift vs fp32.
+        self.mpd, self.mrd = build_discriminators(
+            h,
+            dtype=jnp.bfloat16 if h.get("discriminator_bf16", False)
+            else jnp.float32,
+        )
         self.msl = MultiScaleMelSpectrogramLoss(h["sampling_rate"])
         self.writer = SummaryLogger(os.path.join(a.checkpoint_path, "logs"))
 

@@ -14,7 +14,11 @@ def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
     losses = []
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            losses.append(jnp.mean(jnp.abs(rl - gl)))
+            # upcast: with bf16 discriminator compute the fmaps arrive in
+            # bf16; the L1 reduction must accumulate in fp32
+            losses.append(
+                jnp.mean(jnp.abs(rl.astype(jnp.float32) - gl.astype(jnp.float32)))
+            )
     return 2.0 * sum(losses)
 
 
@@ -25,6 +29,8 @@ def discriminator_loss(
     (reference loss.py:228-243)."""
     losses, r_losses, g_losses = [], [], []
     for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
         r_loss = jnp.mean((1.0 - dr) ** 2)
         g_loss = jnp.mean(dg**2)
         losses.append(r_loss + g_loss)
@@ -35,5 +41,7 @@ def discriminator_loss(
 
 def generator_loss(disc_outputs) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """LS-GAN G loss: mean (1−D(ŷ))² (reference loss.py:246-257)."""
-    gen_losses = [jnp.mean((1.0 - dg) ** 2) for dg in disc_outputs]
+    gen_losses = [
+        jnp.mean((1.0 - dg.astype(jnp.float32)) ** 2) for dg in disc_outputs
+    ]
     return sum(gen_losses), gen_losses
