@@ -139,17 +139,25 @@ def main():
 
     # ---- timed runs ------------------------------------------------------
     # one host fetch per clip; wav ← stitch ← all stage-1 windows, so the
-    # fetch fences the whole pipeline
+    # fetch fences the whole pipeline.  Clip i+1 is DISPATCHED before clip
+    # i's wav is fetched (queue depth 2): dispatch is async, so the ~45 ms
+    # of host fetch + dispatch latency per clip overlaps the device compute
+    # of the next clip.  Every wav is still fetched, in order — the device
+    # executes clips serially and each fetch fences its own clip.
     n_iters = 5
     inputs = [fresh_clip() for _ in range(n_iters)]
     t0 = time.time()
+    pending = None
     for it in range(n_iters):
         mono, feat = inputs[it]
         wav = pipe(
             unet_params, voc_params, mono, feat,
             jax.random.fold_in(key, 1000 + it),
         )
-        sync(wav)
+        if pending is not None:
+            sync(pending)
+        pending = wav
+    sync(pending)
     elapsed = (time.time() - t0) / n_iters
 
     clips_per_sec = 1.0 / elapsed
@@ -162,6 +170,7 @@ def main():
                 "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
                 "pipeline": "mono_mel->windows->ddim25->stitch->vocoder->wav",
                 "dispatches_per_clip": 1,
+                "queue_depth": 2,
                 "visual_encoder_included": False,
             }
         )
