@@ -665,6 +665,72 @@ def bench_snakeconv(reps=10):
                   f"{1e3 * dt_p / reps:7.3f} ms")
 
 
+def bench_convt(reps=20):
+    """Polyphase vs lhs-dilated ConvTranspose1d lowering at the production
+    upsample-stage shapes (rates 4,4,2,2,2,2 / kernels 8,8,4,4,4,4 /
+    1536→24 channels, 10 s clip, B=2 bf16).  The polyphase form does u×
+    fewer MACs — this bench confirms XLA doesn't already recover that."""
+    tpu = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    stages = [  # (t_in, c_in, c_out, k, u)
+        (861, 1536, 768, 8, 4),
+        (3444, 768, 384, 8, 4),
+        (13776, 384, 192, 4, 2),
+        (27552, 192, 96, 4, 2),
+        (55104, 96, 48, 4, 2),
+        (110208, 48, 24, 4, 2),
+    ]
+    for t, ci, co, k, u in stages:
+        x = jax.device_put(
+            jnp.asarray(rng.standard_normal((2, t, ci)), jnp.bfloat16), tpu
+        )
+        w = jax.device_put(
+            jnp.asarray(rng.standard_normal((k, co, ci)) * 0.02,
+                        jnp.bfloat16), tpu
+        )  # (k, out, in), the WNConvTranspose1d layout
+        p = (k - u) // 2
+
+        @jax.jit
+        def poly_loop(x, w):
+            c = k // u
+            kern = w.reshape(c, u, co, ci).transpose(0, 3, 1, 2)
+            kern = kern.reshape(c, ci, u * co)[::-1]
+
+            def body(carry, i):
+                y = jax.lax.conv_general_dilated(
+                    x + carry.astype(x.dtype), kern, window_strides=(1,),
+                    padding=((c - 1, c - 1),),
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                )
+                y = y.reshape(y.shape[0], -1, co)[:, p : p + x.shape[1] * u]
+                return jnp.float32(jnp.sum(y)) * 1e-12, ()
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+            return acc
+
+        @jax.jit
+        def dilated_loop(x, w):
+            kern = jnp.flip(w, axis=0).transpose(0, 2, 1)
+
+            def body(carry, i):
+                y = jax.lax.conv_general_dilated(
+                    x + carry.astype(x.dtype), kern, window_strides=(1,),
+                    padding=((k - 1 - p, k - 1 - p),), lhs_dilation=(u,),
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                )
+                return jnp.float32(jnp.sum(y)) * 1e-12, ()
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+            return acc
+
+        dt_p = timed(poly_loop, x, w)
+        dt_d = timed(dilated_loop, x, w)
+        flops = 2 * 2 * t * k * ci * co  # B=2, math-minimum MACs×2
+        print(f"t={t:6d} {ci:4d}->{co:4d} k={k} u={u}: poly "
+              f"{1e3 * dt_p / reps:7.3f} ms ({flops / (dt_p / reps) / 1e12:5.1f}"
+              f" TF/s eff)   lhs-dilated {1e3 * dt_d / reps:7.3f} ms")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("unet", "all"):
@@ -696,6 +762,8 @@ if __name__ == "__main__":
         bench_train2()
     if which in ("snakeconv",):
         bench_snakeconv()
+    if which in ("convt",):
+        bench_convt()
     if which in ("unetbatch",):
         # root-cause the "one batch of 24 windows slower than 3x8" anomaly
         # (VERDICT r1 next-steps #2b): sweep the window batch and report

@@ -20,6 +20,7 @@ run probe 90 python -u -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp
 # 1. act kernel v4 (padless tiles) + fused snake-conv: Mosaic compile +
 #    numbers on production vocoder stages
 run snakeconv 1200 python -u benchmarks/micro.py snakeconv
+run convt 1200 python -u benchmarks/micro.py convt
 run act 1200 python -u benchmarks/micro.py act
 
 # 2. vocoder end-to-end (act v4 + snake_conv fusion in place)

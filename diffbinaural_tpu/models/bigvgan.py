@@ -115,8 +115,18 @@ class WNConv1d(nn.Module):
 
 class WNConvTranspose1d(nn.Module):
     """weight_norm(ConvTranspose1d(k, stride=u, padding=(k-u)//2)) on
-    (B, T, C) → (B, T·u, C').  Expressed as the XLA-native lhs-dilated
-    convolution with a flipped, transposed kernel (reference :300-317)."""
+    (B, T, C) → (B, T·u, C') (reference :300-317).
+
+    Lowered as a POLYPHASE convolution when u | k (all production stages:
+    k = 2u): a stride-1 conv with k/u taps and u·C' stacked output
+    channels, whose output interleaves into the u phases of the transposed
+    conv.  The naive lhs-dilated lowering makes XLA contract over the u−1
+    inserted zeros between every input sample — u× wasted MXU work (4× on
+    the rate-4 stages); the polyphase form hits the FLOP minimum
+    t·k·C_in·C_out and keeps the contraction dense.  Derivation: with
+    j = u·q + r, τ = j − u·m = u·a + r, so
+    y[u·q + r] = Σ_a x[q − a] · w[u·a + r] — a plain causal conv per
+    phase r, batched over r by stacking output channels."""
 
     features: int
     kernel_size: int
@@ -133,19 +143,37 @@ class WNConvTranspose1d(nn.Module):
         norm = jnp.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
         w = v * (g[None, None, :] / jnp.maximum(norm, 1e-12))  # (k, out, in)
 
-        # conv_transpose(x, w, stride=u, padding=p) ==
-        #   conv(dilate(x, u), flip_k(w)^{in↔out}, padding=(k-1-p, k-1-p))
         p = (k - u) // 2
-        kernel = jnp.flip(w, axis=0).transpose(0, 2, 1)  # (k, in, out)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1,),
-            padding=((k - 1 - p, k - 1 - p),),
-            lhs_dilation=(u,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
         b = self.param("b", nn.initializers.zeros, (self.features,))
+        if k % u == 0:
+            c = k // u  # taps per phase
+            t = x.shape[1]
+            # (k, out, in) → (c, u, out, in) → (c, in, u·out); tap a of the
+            # stacked kernel's column r·out+o is w[u·a + r, o, :].  Flip a
+            # so conv-with-left-pad computes Σ_a K[a]·x[q−a].
+            kern = w.reshape(c, u, self.features, cin).transpose(0, 3, 1, 2)
+            kern = kern.reshape(c, cin, u * self.features)[::-1]
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kern.astype(self.dtype),
+                window_strides=(1,),
+                padding=((c - 1, c - 1),),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )  # (B, t + c − 1, u·out): phase r of output step q in col block r
+            y = y.reshape(y.shape[0], (t + c - 1) * u, self.features)
+            y = y[:, p : p + t * u]
+        else:
+            # conv_transpose(x, w, stride=u, padding=p) ==
+            #   conv(dilate(x, u), flip_k(w)^{in↔out}, padding=(k-1-p, k-1-p))
+            kernel = jnp.flip(w, axis=0).transpose(0, 2, 1)  # (k, in, out)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1,),
+                padding=((k - 1 - p, k - 1 - p),),
+                lhs_dilation=(u,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         return y + b.astype(self.dtype)
 
 
