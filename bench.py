@@ -29,6 +29,13 @@ Baseline (vs_baseline=1.0): the PyTorch reference on A100-class hardware —
 ~0.1 s per 80-frame window × 21 windows (DiffBinaural/README.md:423) plus
 the torch-path BigVGAN RTF ≈76× for 2×10 s of audio
 (BigVGAN/README_original.md:233-240) ≈ 2.36 s per clip ≈ 0.42 clips/s.
+
+METRIC REGIME: this measures sustained THROUGHPUT at queue depth 2 (clip
+i+1 is dispatched before clip i's waveform is fetched), not single-clip
+blocking latency.  The overlap hides ~45 ms/clip of host fetch + dispatch
+latency — ~3% on a ~1.4 s clip — relative to the queue-depth-1 numbers
+recorded before 2026-08-18 (e.g. BENCH_r01.json).  The JSON's queue_depth
+field marks the regime; per-clip device time is unchanged between regimes.
 """
 
 import json

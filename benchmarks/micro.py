@@ -482,9 +482,12 @@ def bench_train2(batch=16, reps=5):
     tpu = jax.devices()[0]
     gen = BigVGAN(cfg, dtype=jnp.bfloat16)
     # DISC_BF16=1 measures the opt-in bf16 discriminator-conv mode
+    # ("0"/""/unset = fp32 default — any other value would silently flip it)
+    disc_bf16 = os.environ.get("DISC_BF16", "0").strip().lower() in (
+        "1", "true", "yes",
+    )
     mpd, mrd = build_discriminators(
-        h,
-        dtype=jnp.bfloat16 if os.environ.get("DISC_BF16") else jnp.float32,
+        h, dtype=jnp.bfloat16 if disc_bf16 else jnp.float32,
     )
     msl = MultiScaleMelSpectrogramLoss(h["sampling_rate"])
 
@@ -690,19 +693,12 @@ def bench_convt(reps=20):
         )  # (k, out, in), the WNConvTranspose1d layout
         p = (k - u) // 2
 
+        from diffbinaural_tpu.models.bigvgan import polyphase_conv_transpose
+
         @jax.jit
         def poly_loop(x, w):
-            c = k // u
-            kern = w.reshape(c, u, co, ci).transpose(0, 3, 1, 2)
-            kern = kern.reshape(c, ci, u * co)[::-1]
-
             def body(carry, i):
-                y = jax.lax.conv_general_dilated(
-                    x + carry.astype(x.dtype), kern, window_strides=(1,),
-                    padding=((c - 1, c - 1),),
-                    dimension_numbers=("NHC", "HIO", "NHC"),
-                )
-                y = y.reshape(y.shape[0], -1, co)[:, p : p + x.shape[1] * u]
+                y = polyphase_conv_transpose(x + carry.astype(x.dtype), w, u)
                 return jnp.float32(jnp.sum(y)) * 1e-12, ()
 
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))

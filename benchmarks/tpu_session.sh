@@ -7,11 +7,13 @@ set -u
 mkdir -p /tmp/tpu_logs
 cd /root/repo
 
-run() {  # run <tag> <timeout_s> <cmd...>
+run() {  # run <tag> <timeout_s> <cmd...> — returns the COMMAND's status
   local tag=$1 t=$2; shift 2
   echo "=== $tag ($(date -u +%H:%M:%SZ)) ==="
   timeout "$t" "$@" 2>&1 | tee "/tmp/tpu_logs/$tag.log" | tail -40
-  echo "=== $tag done rc=$? ==="
+  local rc=${PIPESTATUS[0]}
+  echo "=== $tag done rc=$rc ==="
+  return "$rc"
 }
 
 # 0. backend probe (90 s guard against the 28-min-hang failure mode)

@@ -113,20 +113,48 @@ class WNConv1d(nn.Module):
         return y
 
 
+def polyphase_conv_transpose(x, w, u: int):
+    """ConvTranspose1d(stride=u, padding=(k−u)//2) on (B, T, C_in) as a
+    POLYPHASE stride-1 convolution.  ``w``: (k, out, in), the
+    WNConvTranspose1d layout; requires u | k and (k − u) even (all
+    production stages: k = 2u) — odd k − u produces t·u + 1 output samples
+    in the torch semantics, which the t·u crop below would truncate.
+
+    The naive lhs-dilated lowering makes XLA contract over the u−1
+    inserted zeros between every input sample — u× wasted MXU work (4× on
+    the rate-4 stages); this form hits the FLOP minimum t·k·C_in·C_out and
+    keeps the contraction dense.  Derivation: with j = u·q + r,
+    τ = j − u·m = u·a + r, so y[u·q + r] = Σ_a x[q − a] · w[u·a + r] — a
+    plain causal conv per phase r, batched over r by stacking output
+    channels and interleaving by reshape."""
+    k, out, cin = w.shape
+    u = int(u)
+    if k % u != 0 or (k - u) % 2 != 0:
+        raise ValueError(f"polyphase_conv_transpose: need u | k and even "
+                         f"k-u, got k={k} u={u}")
+    c = k // u  # taps per phase
+    p = (k - u) // 2
+    t = x.shape[1]
+    # (k, out, in) → (c, u, out, in) → (c, in, u·out); tap a of the stacked
+    # kernel's column r·out+o is w[u·a + r, o, :].  Flip a so
+    # conv-with-left-pad computes Σ_a K[a]·x[q−a].
+    kern = w.reshape(c, u, out, cin).transpose(0, 3, 1, 2)
+    kern = kern.reshape(c, cin, u * out)[::-1]
+    y = jax.lax.conv_general_dilated(
+        x, kern.astype(x.dtype), window_strides=(1,),
+        padding=((c - 1, c - 1),),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )  # (B, t + c − 1, u·out): phase r of output step q in column block r
+    y = y.reshape(y.shape[0], (t + c - 1) * u, out)
+    return y[:, p : p + t * u]
+
+
 class WNConvTranspose1d(nn.Module):
     """weight_norm(ConvTranspose1d(k, stride=u, padding=(k-u)//2)) on
     (B, T, C) → (B, T·u, C') (reference :300-317).
 
-    Lowered as a POLYPHASE convolution when u | k (all production stages:
-    k = 2u): a stride-1 conv with k/u taps and u·C' stacked output
-    channels, whose output interleaves into the u phases of the transposed
-    conv.  The naive lhs-dilated lowering makes XLA contract over the u−1
-    inserted zeros between every input sample — u× wasted MXU work (4× on
-    the rate-4 stages); the polyphase form hits the FLOP minimum
-    t·k·C_in·C_out and keeps the contraction dense.  Derivation: with
-    j = u·q + r, τ = j − u·m = u·a + r, so
-    y[u·q + r] = Σ_a x[q − a] · w[u·a + r] — a plain causal conv per
-    phase r, batched over r by stacking output channels."""
+    Lowered via :func:`polyphase_conv_transpose` when eligible (all
+    production stages), else the lhs-dilated XLA form."""
 
     features: int
     kernel_size: int
@@ -145,23 +173,10 @@ class WNConvTranspose1d(nn.Module):
 
         p = (k - u) // 2
         b = self.param("b", nn.initializers.zeros, (self.features,))
-        if k % u == 0:
-            c = k // u  # taps per phase
-            t = x.shape[1]
-            # (k, out, in) → (c, u, out, in) → (c, in, u·out); tap a of the
-            # stacked kernel's column r·out+o is w[u·a + r, o, :].  Flip a
-            # so conv-with-left-pad computes Σ_a K[a]·x[q−a].
-            kern = w.reshape(c, u, self.features, cin).transpose(0, 3, 1, 2)
-            kern = kern.reshape(c, cin, u * self.features)[::-1]
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                kern.astype(self.dtype),
-                window_strides=(1,),
-                padding=((c - 1, c - 1),),
-                dimension_numbers=("NHC", "HIO", "NHC"),
-            )  # (B, t + c − 1, u·out): phase r of output step q in col block r
-            y = y.reshape(y.shape[0], (t + c - 1) * u, self.features)
-            y = y[:, p : p + t * u]
+        if k % u == 0 and (k - u) % 2 == 0:
+            y = polyphase_conv_transpose(
+                x.astype(self.dtype), w.astype(self.dtype), u
+            )
         else:
             # conv_transpose(x, w, stride=u, padding=p) ==
             #   conv(dilate(x, u), flip_k(w)^{in↔out}, padding=(k-1-p, k-1-p))

@@ -1,6 +1,7 @@
 """BigVGAN generator tests: shapes, conv-transpose parity vs torch oracle,
 snake formula, weight-norm semantics, channels-last resamplers."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -81,6 +82,36 @@ def test_wn_conv_transpose_matches_torch():
         torch.from_numpy(x.transpose(0, 2, 1).copy()), w, stride=4, padding=2
     ).numpy().transpose(0, 2, 1)
     assert ours.shape == ref.shape == (2, 64, 4)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "k,u",
+    [
+        (16, 8),  # polyphase, rate-8 geometry
+        (4, 2),   # polyphase, rate-2 production stages
+        (4, 4),   # polyphase edge: one tap per phase
+        (6, 3),   # u | k but k-u odd: torch emits t*u+1 samples — must
+                  # take the lhs-dilated fallback, not the t*u crop
+        (7, 3),   # k % u != 0: lhs-dilated fallback
+    ],
+)
+def test_wn_conv_transpose_geometries_match_torch(k, u):
+    """Every lowering branch (polyphase and both fallbacks) against the
+    torch conv_transpose1d oracle, including output LENGTH."""
+    rng = np.random.default_rng(10 * k + u)
+    x = rng.standard_normal((2, 11, 5)).astype(np.float32)
+    tconv = WNConvTranspose1d(features=3, kernel_size=k, stride=u)
+    params = tconv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(tconv.apply(params, jnp.asarray(x)))
+
+    v = np.asarray(params["params"]["v"])  # (k, out, in); g init ⇒ w == v
+    w = torch.from_numpy(v.transpose(2, 1, 0).copy())  # (in, out, k)
+    ref = F.conv_transpose1d(
+        torch.from_numpy(x.transpose(0, 2, 1).copy()), w,
+        stride=u, padding=(k - u) // 2,
+    ).numpy().transpose(0, 2, 1)
+    assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 

@@ -67,11 +67,19 @@ def test_padded_length_masks_tail():
 
 
 def test_masked_tail_with_chunked_inference_path():
-    """n = 2050 pads to 2176 and (being ≥ 2048) runs the 2-chunk inference
-    kernel with the ones-column rowsum — pad keys must not leak and the
-    chunk merge must stay exact."""
+    """n = 2300 pads to 2304 = 18·128 with 2304/2 % 128 == 0, so this runs
+    the 2-CHUNK inference kernel with the ones-column rowsum — pad keys
+    must not leak and the per-chunk rescale merge of the folded l column
+    must stay exact.  (n = 2050 → n_pad = 2176 would fall back to 1 chunk:
+    2176/2 = 1088 is not a multiple of 128.)"""
+    from diffbinaural_tpu.ops import flash_d32 as f32mod
+
     rng = np.random.default_rng(3)
-    b, h, n, d = 1, 2, 2050, 32
+    b, h, n, d = 1, 2, 2300, 32
+    n_pad = f32mod._round_up(n, f32mod.LANE)
+    assert n_pad >= 2048 and (n_pad // 2) % f32mod.LANE == 0, (
+        "test geometry no longer selects the 2-chunk path"
+    )
     q, k, v = (
         jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32))
         for _ in range(3)
