@@ -39,7 +39,13 @@ def main(argv=None):
     parser.add_argument("--visual_feats", default=None,
                         help=".npy (512,) or (n_windows, 512); or a dir of "
                              "{base}.npy matching the input wavs")
-    parser.add_argument("--ddim_steps", default=25, type=int)
+    parser.add_argument("--ddim_steps", default=25, type=int,
+                        help="stage-1 solver steps (model evals per window)")
+    parser.add_argument("--sampler", default="ddim",
+                        choices=("ddim", "dpm++"),
+                        help="'ddim' = reference parity; 'dpm++' = "
+                             "DPM-Solver++(2M), matched solver accuracy at "
+                             "~half the steps (pair with --ddim_steps 12)")
     parser.add_argument("--unet_batch", default=8, type=int)
     parser.add_argument("--unet_dim", default=64, type=int)
     parser.add_argument("--bucket_frames", default=64, type=int)
@@ -90,6 +96,7 @@ def main(argv=None):
                 num_mels=cfg.num_mels,
                 unet_batch=a.unet_batch,
                 sampling_timesteps=a.ddim_steps,
+                sampler=a.sampler,
             )
         return pipes[bucket]
 

@@ -330,6 +330,150 @@ class GaussianDiffusion:
             return self.unnormalize(all_imgs)
         return self.unnormalize(img)
 
+    def _dpm_time_pairs(self, sampling_timesteps: int) -> np.ndarray:
+        """Power-law time grid for DPM-Solver++: eval times
+        t_i = (T−1)·(1−s_i)^2.5 with s uniform on [0, 1], then the
+        terminal (t_last=0 → −1) projection pair.
+
+        Unlike the DDIM grid (uniform in t, last eval at t ≈ T/steps), this
+        places the final model evaluation AT t=0, so the terminal
+        ``x ← x0̂`` projection carries no step-size bias — at few steps
+        that projection, not solver truncation, dominates the DDIM grid's
+        error (measured in tests/test_dpm.py).  The 2.5 exponent won a
+        {t-uniform, λ-uniform, (1−s)^p for p∈1.5..3, Karras-ρ} sweep on the
+        analytic GMM toy across seeds — λ-uniform (the DPM paper default)
+        oversamples the near-silent low-noise tail of this 1000-step cosine
+        schedule, while quadratic (the common few-step choice) undersamples
+        it; p=2.5 beat both at every tested NFE."""
+        assert 1 <= sampling_timesteps <= self.num_timesteps
+        if sampling_timesteps == 1:
+            times = [self.num_timesteps - 1]
+        else:
+            s = np.linspace(0.0, 1.0, sampling_timesteps)
+            times = (
+                np.round((self.num_timesteps - 1) * (1.0 - s) ** 2.5)
+                .astype(int)
+                .tolist()
+            )
+            # enforce a strictly decreasing integer grid: clamp forward,
+            # then push collided entries back up from the t=0 end (the
+            # grid is so flat near t=0 that entries can round together)
+            for i in range(1, len(times)):
+                times[i] = min(times[i], times[i - 1] - 1)
+            times[-1] = max(times[-1], 0)
+            for i in range(len(times) - 2, -1, -1):
+                times[i] = max(times[i], times[i + 1] + 1)
+            assert times[0] <= self.num_timesteps - 1, (
+                "sampling_timesteps too large for schedule"
+            )
+        times = times + [-1]
+        return np.asarray(
+            list(zip(times[:-1], times[1:])), dtype=np.int32
+        )
+
+    def _dpm_coeffs(self, time_pairs: np.ndarray) -> np.ndarray:
+        """Static per-step coefficients for DPM-Solver++(2M) on the given
+        time grid.  Row i: (k_x, k_D, c_prev, m_a, m_s, last) where
+
+            x_{i+1}    = k_x · x_i + k_D · D_i
+            D_i        = (1 − c_prev) · x0̂_i + c_prev · x0̂_{i−1}
+            mix_t_next = m_a · mix + m_s · ε̂_i          (unless last)
+
+        with h_i = λ(t_next) − λ(t_cur), λ = ½·log(ᾱ/(1−ᾱ)),
+        k_x = σ_next/σ_cur, k_D = −α_next·expm1(−h_i), and
+        c_prev = −h_i/(2·h_{i−1}) (0 on the first step).  The terminal
+        row (time_next < 0) is (0, 1, 0, ·, ·, 1): x ← x0̂ exactly like
+        the DDIM sampler's final step, which is also the h→∞ limit of the
+        first-order update (lower-order-final)."""
+        pairs = time_pairs
+        ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
+        alpha, sigma = np.sqrt(ac), np.sqrt(1.0 - ac)
+        lam = np.log(alpha / sigma)
+        rows = np.zeros((len(pairs), 6), np.float64)
+        h_prev = None
+        for i, (tc, tn) in enumerate(pairs):
+            if tn < 0:
+                rows[i] = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+                continue
+            h = lam[tn] - lam[tc]
+            c_prev = 0.0 if h_prev is None else -h / (2.0 * h_prev)
+            rows[i] = (
+                sigma[tn] / sigma[tc], -alpha[tn] * np.expm1(-h), c_prev,
+                alpha[tn], sigma[tn], 0.0,
+            )
+            h_prev = h
+        return rows.astype(np.float32)
+
+    def dpm_sample(
+        self,
+        model_fn,
+        condition: Sequence[jnp.ndarray],
+        rng: jax.Array,
+        return_all_timesteps: bool = False,
+        sampling_timesteps: int | None = None,
+    ):
+        """DPM-Solver++(2M) sampler — a second-order multistep exponential
+        integrator of the same probability-flow ODE the η=0 DDIM sampler
+        integrates (Lu et al. 2022, arXiv:2211.01095, Algorithm 2, data
+        prediction).  Reaches DDIM-25 solution accuracy in ~half the model
+        evaluations (pinned by tests/test_dpm.py against an analytic
+        Gaussian-mixture score model), i.e. ~2× faster stage-1 inference at
+        matched quality.  Beyond-parity feature: the reference
+        (diffusion_pytorch.py:311-371) ships DDIM/ancestral only.
+
+        Deterministic (the ODE solver — no η analogue).  The condition
+        contract matches :meth:`ddim_sample` exactly: condition =
+        (mix, visual_feature) with the ORIGINAL mono mix kept as
+        condition[0], the noised-mix condition[2] carried across steps and
+        refreshed to the target noise level with the CURRENT ε̂
+        (the η=0 instance of the reference's :344 update), and the same
+        rng split structure, so both samplers start from the identical
+        x_T for a given key.
+        """
+        if sampling_timesteps is None:
+            sampling_timesteps = self.sampling_timesteps
+
+        mono_mix = jax.lax.stop_gradient(condition[0])
+        mix = jnp.tile(mono_mix, (1, 2, 1, 1))
+        visual_feature = condition[1]
+        batch = mix.shape[0]
+
+        rng_init, _ = jax.random.split(rng)  # same x_T as ddim_sample
+        img0 = jax.random.normal(rng_init, mix.shape, mix.dtype)
+        mix_t0 = img0 + mix
+
+        pairs = self._dpm_time_pairs(sampling_timesteps)
+        time_pairs = jnp.asarray(pairs)
+        coeffs = jnp.asarray(self._dpm_coeffs(pairs))
+
+        def step(carry, inputs):
+            img, mix_t, prev_x0 = carry
+            (time, _), row = inputs
+            k_x, k_d, c_prev, m_a, m_s, last = (row[j] for j in range(6))
+            time_cond = jnp.full((batch,), time, dtype=jnp.int32)
+            pred_noise, x_start = self.model_predictions(
+                model_fn, img, time_cond, (mono_mix, visual_feature, mix_t),
+                clip_x_start=True,
+            )
+            d = (1.0 - c_prev) * x_start + c_prev * prev_x0
+            img_next = k_x * img + k_d * d
+            mix_t_next = jnp.where(
+                last > 0, mix_t, m_a * mix + m_s * pred_noise
+            )
+            return (img_next, mix_t_next, x_start), (
+                img_next if return_all_timesteps else 0
+            )
+
+        (img, _, _), ys = jax.lax.scan(
+            step, (img0, mix_t0, jnp.zeros_like(img0)), (time_pairs, coeffs)
+        )
+        if return_all_timesteps:
+            all_imgs = jnp.concatenate(
+                [img0[:, None], jnp.moveaxis(ys, 0, 1)], axis=1
+            )
+            return self.unnormalize(all_imgs)
+        return self.unnormalize(img)
+
     def p_sample_loop(
         self,
         model_fn,

@@ -61,6 +61,7 @@ class BinauralPipeline:
         crop_frames: int = 8,
         unet_batch: int = 8,
         sampling_timesteps: int = 25,
+        sampler: str = "ddim",
         diffusion: Optional[GaussianDiffusion] = None,
         fuse_vocoder: bool = True,
         mesh: Optional[Mesh] = None,
@@ -70,7 +71,14 @@ class BinauralPipeline:
         n_slots/n_data windows; XLA inserts the gather the stitch needs
         over ICI).  Pass vocoder params through
         ``parallel.shard_vocoder_params`` to channel-shard stage 2 over
-        'model' as well.  unet_batch is ignored under a mesh."""
+        'model' as well.  unet_batch is ignored under a mesh.
+
+        ``sampler``: 'ddim' (reference parity) or 'dpm++'
+        (DPM-Solver++(2M), matched quality at ~half the steps — pair with
+        ``sampling_timesteps≈12``; accuracy pinned by tests/test_dpm.py)."""
+        if sampler not in ("ddim", "dpm++"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        self.sampler = sampler
         self.unet_apply = unet_apply
         self.voc_apply = voc_apply
         self.total_frames = total_frames
@@ -176,10 +184,16 @@ class BinauralPipeline:
             jnp.arange(self.n_batches)
         )
 
+        sample = (
+            self.diffusion.dpm_sample
+            if self.sampler == "dpm++"
+            else self.diffusion.ddim_sample
+        )
+
         def body(_, inp):
             w, f, k = inp
             model_fn = lambda x, t, c: self.unet_apply(unet_params, x, t, c)
-            return None, self.diffusion.ddim_sample(model_fn, (w, f), k)
+            return None, sample(model_fn, (w, f), k)
 
         _, preds = jax.lax.scan(body, None, (wins_g, feat_g, keys))
         preds = preds.reshape((self.n_slots,) + preds.shape[2:])

@@ -147,6 +147,22 @@ def test_pipeline_end_to_end_tiny():
     assert not np.array_equal(np.asarray(wav), np.asarray(wav3))
 
 
+def test_pipeline_dpm_sampler_mode():
+    """sampler='dpm++' runs the same windowing/stitch glue over the
+    DPM-Solver++ sampler; unknown names fail at construction."""
+    import pytest
+
+    total = 130
+    pipe = _dummy_pipe(total, unet_batch=2, sampler="dpm++")
+    mono = jnp.full((1, 80, total), -6.0)
+    out = np.asarray(pipe(None, None, mono, jnp.zeros((3, 512))))
+    assert out.shape == (2, 80, total)
+    assert np.isfinite(out).all()
+
+    with pytest.raises(ValueError, match="sampler"):
+        _dummy_pipe(total, sampler="euler")
+
+
 def test_mismatched_inputs_raise():
     """A clip whose length differs from the compiled total_frames (or a
     feats array with a wrong row count) must fail loudly — dynamic_slice
