@@ -396,6 +396,54 @@ def bench_act_narrow(t=220416, c=24, batch=2, reps=50):
     print(f"act narrow c={c} t={t} (folded): {1e3 * dt / reps:.3f} ms")
 
 
+def bench_act_sin(reps=30):
+    """Attribute the act kernel's VPU time to the snake transcendental vs
+    the FIR shift/FMA lattice: run representative production stages under
+    _SIN_IMPL ∈ {exact, fast, none} (see ops/alias_free_act._sin_sq;
+    'none' is wrong math, diagnostic only), then report 'fast' accuracy
+    vs 'exact'.  If 'none' ≈ 'exact', sin is free and the lattice is the
+    whole cost; if 'none' ≪ 'exact' and 'fast' ≈ 'none', flipping
+    DIFFBINAURAL_AFA_SIN=fast is a near-free act speedup."""
+    from diffbinaural_tpu.ops import alias_free_act as afa
+
+    stages = [  # (t, c): two MXU-mode stages, two folded-VPU stages
+        (3444, 768), (13776, 384), (55104, 96), (220416, 24),
+    ]
+    orig = afa._SIN_IMPL
+    try:
+        for mode in ("exact", "fast", "none"):
+            afa._SIN_IMPL = mode
+            print(f"--- sin mode: {mode}")
+            for t, c in stages:
+                bench_act(t=t, c=c, batch=2, reps=reps, dtype=jnp.bfloat16)
+    finally:
+        afa._SIN_IMPL = orig
+
+    # accuracy of 'fast' vs 'exact' on one wide + one narrow stage
+    tpu = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    for t, c in ((3444, 768), (220416, 24)):
+        x = jax.device_put(
+            jnp.asarray(3.0 * rng.standard_normal((1, t, c)), jnp.float32),
+            tpu,
+        )
+        a = jax.device_put(jnp.asarray(rng.standard_normal((c,)) * 0.5), tpu)
+        b = jax.device_put(jnp.asarray(rng.standard_normal((c,)) * 0.5), tpu)
+        outs = {}
+        for mode in ("exact", "fast"):
+            afa._SIN_IMPL = mode
+            try:
+                outs[mode] = np.asarray(
+                    jax.jit(afa.fused_alias_free_snake, static_argnums=3)(
+                        x, a, b, True
+                    )
+                )
+            finally:
+                afa._SIN_IMPL = orig
+        d = np.abs(outs["fast"] - outs["exact"]).max()
+        print(f"fast-vs-exact max abs diff (t={t}, c={c}): {d:.3e}")
+
+
 def bench_train1(batch=16, reps=5):
     """Production stage-1 diffusion train step (precomputed visual feats)."""
     from diffbinaural_tpu.models import AudioVisualModel
@@ -767,6 +815,8 @@ if __name__ == "__main__":
         # all 21 windows of a 10 s clip in ONE batched DDIM scan.
         for b in (4, 8, 12, 16, 21, 24, 32):
             bench_unet(batch=b)
+    if which in ("actsin",):
+        bench_act_sin()
     if which in ("actnarrow",):
         bench_act_narrow(t=220416, c=24)
         bench_act_narrow(t=110208, c=48)

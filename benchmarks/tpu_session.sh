@@ -24,6 +24,7 @@ run probe 90 python -u -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp
 run snakeconv 1200 python -u benchmarks/micro.py snakeconv
 run convt 1200 python -u benchmarks/micro.py convt
 run act 1200 python -u benchmarks/micro.py act
+run actsin 1800 python -u benchmarks/micro.py actsin
 
 # 2. vocoder end-to-end (act v4 + snake_conv fusion in place)
 run vocoder 1200 python -u benchmarks/micro.py vocoder

@@ -56,6 +56,7 @@ summed halo rows, which double-counted tile-seam contributions).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,40 @@ RATIO = 2
 KSIZE = 12
 LANE = 128
 MAX_LANES = 512  # widest folded tile (VMEM budget for f32 intermediates)
+
+# Forward-path sin² implementation (measurement knob; the backward always
+# uses the exact sine).  'exact' (default) = hardware/XLA sine.  'fast' =
+# range-reduced even cosine polynomial via sin²x = (1 − cos 2x)/2 — max
+# abs err 1.1e-8 over a full period, ~11 VPU FMAs, no transcendental.
+# 'none' = cheap algebraic stand-in with the same dataflow — WRONG MATH,
+# exists only so benchmarks/micro.py can attribute VPU time between the
+# transcendental and the FIR shift/FMA lattice.
+_SIN_IMPL = os.environ.get("DIFFBINAURAL_AFA_SIN", "exact")
+
+# cos(r) on [−π, π] as an even polynomial in r² (lstsq on Chebyshev nodes;
+# max abs err 1.1e-8)
+_COS_POLY = (
+    0.99999998908466015, -0.49999989100466885, 0.041666489215201247,
+    -0.001388780359767686, 2.4769883572074907e-05,
+    -2.7079030890855105e-07, 1.724509135371723e-09,
+)
+
+
+def _sin_sq(x):
+    """sin²(x) under the _SIN_IMPL mode (see module constant above)."""
+    if _SIN_IMPL == "none":
+        return 0.25 * x * x
+    if _SIN_IMPL == "fast":
+        u = 2.0 * x
+        k = jnp.round(u * (0.5 / np.pi))
+        r = u - k * (2.0 * np.pi)
+        r2 = r * r
+        cos = _COS_POLY[-1]
+        for coef in _COS_POLY[-2::-1]:
+            cos = cos * r2 + coef
+        return 0.5 - 0.5 * cos
+    s = jnp.sin(x)
+    return s * s
 
 
 @functools.lru_cache(maxsize=1)
@@ -185,7 +220,7 @@ def _fwd_kernel_mxu(*refs, t_tile, HY, split_at, pieces):
     y_o = jnp.dot(ao_ref[:], xw, preferred_element_type=jnp.float32)
 
     def snk(y):
-        return y + inv_beta * jnp.sin(y * alpha) ** 2
+        return y + inv_beta * _sin_sq(y * alpha)
 
     t2 = split_at
     h1 = t2 + HY + 3        # mid rows needed by the top D half
@@ -280,8 +315,8 @@ def _up_snake(xw, alpha, inv_beta, t_tile, HY, HR, R, C):
     for i in range(1, 6):
         y_e = y_e + we2[i] * sh[i - 3]
         y_o = y_o + wo2[i] * sh[i - 2]
-    mid_e = y_e + inv_beta * jnp.sin(y_e * alpha) ** 2
-    mid_o = y_o + inv_beta * jnp.sin(y_o * alpha) ** 2
+    mid_e = y_e + inv_beta * _sin_sq(y_e * alpha)
+    mid_o = y_o + inv_beta * _sin_sq(y_o * alpha)
     return y_e, y_o, mid_e, mid_o
 
 

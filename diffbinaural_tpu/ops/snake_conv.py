@@ -98,8 +98,8 @@ def _kernel(*refs, t_tile, HY, HZ, k, dilation, t_rows, c, pieces):
         inv_beta = invb_ref[0]
         y_e = jnp.dot(ae_ref[:], xw, preferred_element_type=jnp.float32)
         y_o = jnp.dot(ao_ref[:], xw, preferred_element_type=jnp.float32)
-        mid_e = (y_e + inv_beta * jnp.sin(y_e * alpha) ** 2).astype(xw.dtype)
-        mid_o = (y_o + inv_beta * jnp.sin(y_o * alpha) ** 2).astype(xw.dtype)
+        mid_e = (y_e + inv_beta * afa._sin_sq(y_e * alpha)).astype(xw.dtype)
+        mid_o = (y_o + inv_beta * afa._sin_sq(y_o * alpha)).astype(xw.dtype)
         z = jnp.dot(de_ref[:], mid_e, preferred_element_type=jnp.float32)
         z = z + jnp.dot(do_ref[:], mid_o, preferred_element_type=jnp.float32)
         # conv zero-pad semantics: lattice rows outside the clip are zero

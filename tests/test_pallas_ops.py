@@ -224,3 +224,31 @@ def test_fused_bf16_inputs_close_to_fp32():
     np.testing.assert_allclose(
         np.asarray(g16, np.float32), np.asarray(g32), atol=0.8, rtol=0.05
     )
+
+
+def test_fast_sin_mode_matches_exact():
+    """DIFFBINAURAL_AFA_SIN=fast (range-reduced cosine polynomial) must be
+    numerically indistinguishable from the exact sine forward; 'none' is a
+    diagnostic stand-in and must NOT match (guards against the polynomial
+    path silently becoming a no-op)."""
+    from diffbinaural_tpu.ops import alias_free_act as afa
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(5.0 * rng.standard_normal((1, 160, 128)), jnp.float32)
+    alpha = jnp.asarray(rng.standard_normal(128) * 0.5, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(128) * 0.5, jnp.float32)
+
+    orig = afa._SIN_IMPL
+    outs = {}
+    try:
+        for mode in ("exact", "fast", "none"):
+            afa._SIN_IMPL = mode
+            outs[mode] = np.asarray(
+                fused_alias_free_snake(x, alpha, beta, True)
+            )
+    finally:
+        afa._SIN_IMPL = orig
+
+    np.testing.assert_allclose(outs["fast"], outs["exact"],
+                               rtol=1e-6, atol=1e-6)
+    assert np.abs(outs["none"] - outs["exact"]).max() > 1e-3
