@@ -716,6 +716,79 @@ def bench_snakeconv(reps=10):
                   f"{1e3 * dt_p / reps:7.3f} ms")
 
 
+def bench_conv_narrow(reps=20):
+    """Narrow-stage AMP conv lowering shootout: XLA direct conv vs im2col
+    (k time-shifted views concatenated on lanes → one (T, k·C)·(k·C, C)
+    matmul — contraction k·C ≥ 264 keeps the MXU busy where the direct
+    form's C ≤ 192 contraction can't).  The AMP convs measured ~5× off the
+    matmul floor in-graph (~0.6 ms each, ~65 ms/clip total); the wide
+    stages are covered by fused_snake_conv, these are the rest.  Each
+    variant is checked against the direct conv on device first."""
+    tpu = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    def im2col_conv(z, w, dilation):
+        k, c, co = w.shape
+        pad = (k - 1) // 2 * dilation
+        zp = jnp.pad(z, ((0, 0), (pad, pad), (0, 0)))
+        t = z.shape[1]
+        cols = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(zp, j * dilation, t, axis=1)
+             for j in range(k)],
+            axis=-1,
+        )  # (B, T, k·C), tap-major lanes == w.reshape(k·C, co) row order
+        return jax.lax.dot_general(
+            cols, w.reshape(k * c, co),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(z.dtype)
+
+    def direct_conv(z, w, dilation):
+        k = w.shape[0]
+        pad = (k - 1) // 2 * dilation
+        return jax.lax.conv_general_dilated(
+            z, w, window_strides=(1,), padding=((pad, pad),),
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+
+    for t, c in ((27552, 192), (55104, 96), (110208, 48), (220416, 24)):
+        z = jax.device_put(
+            jnp.asarray(rng.standard_normal((2, t, c)), jnp.bfloat16), tpu
+        )
+        for k, d in ((3, 1), (7, 3), (11, 5)):
+            w = jax.device_put(
+                jnp.asarray(rng.standard_normal((k, c, c)) * 0.05,
+                            jnp.bfloat16), tpu
+            )
+            want = np.asarray(jax.jit(direct_conv, static_argnums=2)(
+                z, w, d), np.float32)
+            got = np.asarray(jax.jit(im2col_conv, static_argnums=2)(
+                z, w, d), np.float32)
+            err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+            assert err < 2e-2, (t, c, k, d, err)
+
+            def mk(fn):
+                @jax.jit
+                def loop(z, w):
+                    def body(carry, i):
+                        y = fn(z + carry.astype(z.dtype), w, d)
+                        return jnp.float32(jnp.sum(y)) * 1e-12, ()
+                    acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                          jnp.arange(reps))
+                    return acc
+                return loop
+
+            dt_x = timed(mk(direct_conv), z, w)
+            dt_i = timed(mk(im2col_conv), z, w)
+            flops = 2 * 2 * t * c * c * k
+            print(f"T={t:6d} C={c:4d} k={k:2d} d={d}: xla "
+                  f"{1e3 * dt_x / reps:6.3f} ms "
+                  f"({flops / (dt_x / reps) / 1e12:5.1f} TF/s)   im2col "
+                  f"{1e3 * dt_i / reps:6.3f} ms "
+                  f"({flops / (dt_i / reps) / 1e12:5.1f} TF/s)")
+
+
 def bench_convt(reps=20):
     """Polyphase vs lhs-dilated ConvTranspose1d lowering at the production
     upsample-stage shapes (rates 4,4,2,2,2,2 / kernels 8,8,4,4,4,4 /
@@ -808,6 +881,8 @@ if __name__ == "__main__":
         bench_snakeconv()
     if which in ("convt",):
         bench_convt()
+    if which in ("convnarrow",):
+        bench_conv_narrow()
     if which in ("unetbatch",):
         # root-cause the "one batch of 24 windows slower than 3x8" anomaly
         # (VERDICT r1 next-steps #2b): sweep the window batch and report

@@ -23,6 +23,7 @@ run probe 90 python -u -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp
 #    numbers on production vocoder stages
 run snakeconv 1200 python -u benchmarks/micro.py snakeconv
 run convt 1200 python -u benchmarks/micro.py convt
+run convnarrow 1200 python -u benchmarks/micro.py convnarrow
 run act 1200 python -u benchmarks/micro.py act
 run actsin 1800 python -u benchmarks/micro.py actsin
 
