@@ -53,6 +53,34 @@ def _normal_init(std: float):
     return init
 
 
+# Narrow-channel conv lowering: "direct" = lax.conv_general_dilated;
+# "im2col" = the k time-shifted views concatenated on lanes → ONE
+# (T, k·C)·(k·C, C_out) matmul, lifting the MXU contraction depth from
+# C ≤ 192 to k·C (the narrow AMP stages measured ~5× off the matmul
+# floor as direct convs).  Flip after benchmarks/micro.py convnarrow
+# confirms the win on real hardware; im2col trades a k× HBM blowup of
+# the conv input for the deeper contraction.
+NARROW_CONV_LOWERING = "direct"
+_NARROW_C_MAX = 127  # direct conv already fills the lanes at C ≥ 128
+
+
+def im2col_conv1d(x, kernel, dilation: int, pad: int):
+    """SAME-padded dilated Conv1d on (B, T, C) as a single matmul."""
+    k, c, co = kernel.shape
+    t = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    cols = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(xp, j * dilation, t, axis=1)
+         for j in range(k)],
+        axis=-1,
+    )  # tap-major lanes — matches kernel.reshape(k·C, co) row order
+    return jax.lax.dot_general(
+        cols, kernel.reshape(k * c, co),
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
 class WNConv1d(nn.Module):
     """weight_norm(Conv1d) on (B, T, C).  Kernel (k, in, out); the norm is
     taken over (k, in) per output channel (torch weight_norm dim=0)."""
@@ -99,14 +127,26 @@ class WNConv1d(nn.Module):
             )
 
         pad = get_padding(self.kernel_size, self.dilation)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.stride,),
-            padding=((pad, pad),),
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        if (
+            NARROW_CONV_LOWERING == "im2col"
+            and cin <= _NARROW_C_MAX
+            and self.stride == 1
+            and k > 1
+            and 2 * pad == (k - 1) * self.dilation  # exact SAME padding
+        ):
+            y = im2col_conv1d(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.dilation, pad,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.stride,),
+                padding=((pad, pad),),
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.features,))
             y = y + b.astype(self.dtype)

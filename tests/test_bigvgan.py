@@ -190,3 +190,34 @@ def test_remove_weight_norm_is_identity():
     v = np.asarray(folded["params"]["conv_pre"]["v"])
     g = np.asarray(folded["params"]["conv_pre"]["g"])
     np.testing.assert_allclose(np.sqrt((v**2).sum(axis=(0, 1))), g, rtol=1e-5)
+
+
+def test_im2col_lowering_matches_direct():
+    """The im2col narrow-conv lowering (one (T, k·C)·(k·C, C) matmul) must
+    be a drop-in for the direct conv — values AND gradients — across the
+    AMP (k, dilation) pairs, and ineligible shapes (stride>1, wide C) must
+    stay on the direct path."""
+    from diffbinaural_tpu import models
+    from diffbinaural_tpu.models import bigvgan as bv
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 96, 24)), jnp.float32)
+    conv = bv.WNConv1d(24, 7, dilation=3)
+    params = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, xx):
+        return jnp.sum(conv.apply(p, xx) ** 2)
+
+    want = np.asarray(conv.apply(params, x))
+    gw = jax.grad(loss, argnums=(0, 1))(params, x)
+    try:
+        bv.NARROW_CONV_LOWERING = "im2col"
+        got = np.asarray(conv.apply(params, x))
+        gg = jax.grad(loss, argnums=(0, 1))(params, x)
+    finally:
+        bv.NARROW_CONV_LOWERING = "direct"
+
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gw), jax.tree_util.tree_leaves(gg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
