@@ -66,6 +66,9 @@ BASELINE_CLIPS_PER_SEC = 0.42
 SAMPLER = os.environ.get("BENCH_SAMPLER", "dpm++")
 STEPS = int(os.environ.get("BENCH_STEPS", "12"))
 PARITY_STEPS = 25  # the reference's production DDIM setting
+# BENCH_FUSE=0 → two-dispatch pipeline (stage1+stitch / vocoder), the
+# hedge if the single-graph remote compile is pathological on the tunnel.
+FUSE = os.environ.get("BENCH_FUSE", "1") != "0"
 
 
 def _wait_for_backend(attempts: int = 4, probe_timeout: int = 150) -> None:
@@ -135,6 +138,7 @@ def main():
             unet_batch=UNET_BATCH,
             sampling_timesteps=steps,
             sampler=sampler,
+            fuse_vocoder=FUSE,
         )
 
     pipe = make_pipe(SAMPLER, STEPS)
@@ -198,12 +202,17 @@ def main():
         "visual_encoder_included": False,
     }
     if (SAMPLER, STEPS) != ("ddim", PARITY_STEPS):
-        # reference-parity pipeline, same glue — solver is the only change
-        parity = timed_clips_per_sec(make_pipe("ddim", PARITY_STEPS), 3)
-        record["ddim25_clips_per_sec"] = round(parity, 4)
-        record["ddim25_vs_baseline"] = round(
-            parity / BASELINE_CLIPS_PER_SEC, 3
-        )
+        # reference-parity pipeline, same glue — solver is the only change.
+        # A failure here (e.g. a second remote compile dying mid-run) must
+        # not lose the already-measured headline.
+        try:
+            parity = timed_clips_per_sec(make_pipe("ddim", PARITY_STEPS), 3)
+            record["ddim25_clips_per_sec"] = round(parity, 4)
+            record["ddim25_vs_baseline"] = round(
+                parity / BASELINE_CLIPS_PER_SEC, 3
+            )
+        except Exception as e:  # noqa: BLE001
+            record["ddim25_error"] = f"{type(e).__name__}: {e}"[:200]
         record["sampler_quality_evidence"] = "tests/test_dpm.py"
     print(json.dumps(record))
 
