@@ -3,6 +3,23 @@
 # Each step logs to /tmp/tpu_logs/; review between steps before changing
 # kernel defaults.  Do NOT run pytest concurrently (host contention has
 # corrupted e2e numbers by 4.5x — see CLAUDE.md).
+#
+# DECISION GATES (review the logs, then edit defaults + commit):
+# - actsin: if 'none' ≪ 'exact' and 'fast' ≈ 'none' → flip the
+#   ops/alias_free_act._SIN_IMPL default to "fast" (and delete the env
+#   knob or keep as escape hatch); if 'none' ≈ 'exact', sin is free and
+#   further act work must target the shift/FMA lattice instead.
+# - convnarrow: if im2col ≥ ~1.5× faster at C ≤ 96 → flip
+#   models/bigvgan.NARROW_CONV_LOWERING to "im2col".
+# - snakeconv: fused wins → keep _snake_conv_fusable gate as is; loses →
+#   set use_fused=False wiring in AMPBlocks (one-line revert).
+# - flashcheck MUST pass before adopting any flashsweep-suggested
+#   (bq, chunks) change in ops/flash_d32.py.
+# - unetbatch: if one 21-24-window group scales ~linearly, set
+#   UNET_BATCH=21 n_batches=1 in bench.py/pipeline defaults.
+# - bench: record BOTH the dpm++12 headline and ddim25 parity numbers in
+#   BASELINE.md + CLAUDE.md; if the fused single-graph compile stalls
+#   >15 min, rerun with BENCH_FUSE=0.
 set -u
 mkdir -p /tmp/tpu_logs
 cd /root/repo
