@@ -36,6 +36,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("CONVERGENCE_CPU"):  # pin BEFORE backend init (CLAUDE.md:
+    jax.config.update("jax_platforms", "cpu")  # env-var selection is ignored)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -160,6 +164,113 @@ def run_stage1(steps=400, batch=16, chunk=25, n_clips=256):
     }))
 
 
+def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16):
+    """Solver-accuracy check on a TRAINED model of the real architecture.
+
+    A random-init UNet is not a score field (measured: DPM-12 is WORSE
+    than DDIM-25 on random weights — second-order extrapolation amplifies
+    the non-smoothness), so the DPM claim is only meaningful once the net
+    approximates a real score.  This trains the tiny UNet on the panned-
+    tone task until L1 clearly descends, then compares solvers against a
+    120-step DDIM ground truth on held-out conditions, all in the
+    NORMALIZED mel space the model was trained in (the train step
+    normalizes internally — conditioning on raw ln-mels is off-manifold
+    and was measured to send every solver to a different endpoint).
+    CPU-runnable.  Set DPMCHECK_PARAMS=/path to cache/reuse the trained
+    params across reruns of the eval.
+    """
+    from diffbinaural_tpu.core import checkpoint as ckpt
+    from diffbinaural_tpu.diffusion import GaussianDiffusion
+    from diffbinaural_tpu.infer.stage1 import normalize_mel
+    from diffbinaural_tpu.models import AudioVisualModel
+    from diffbinaural_tpu.train import make_stage1_train_step
+
+    print(f"building dataset ({n_clips} clips, {frames} frames)...")
+    mono, target, feat = make_stage1_dataset(n_clips, frames=frames)
+    n_eval = 8
+    data = {
+        "mono_mel": jnp.asarray(mono[n_eval:]),
+        "binaural_mel": jnp.asarray(target[n_eval:]),
+        "feat": jnp.asarray(feat[n_eval:]),
+    }
+    n_train = n_clips - n_eval
+
+    unet = AudioVisualModel(dim=dim)
+    params = {
+        "unet": unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 2, 80, frames)),
+            jnp.zeros((1,), jnp.int32),
+            (jnp.zeros((1, 1, 80, frames)), jnp.zeros((1, 512)),
+             jnp.zeros((1, 2, 80, frames))),
+        )
+    }
+    init_fn, step_fn = make_stage1_train_step(
+        unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
+        lr_unet=2e-4, donate=False,
+    )
+    state = init_fn(params)
+
+    chunk = 50
+    losses = [float("nan")] * steps
+    t0 = time.time()
+    cache = os.environ.get("DPMCHECK_PARAMS", "")
+    if cache and os.path.exists(cache):
+        print(f"loading cached params from {cache}")
+        final_params = ckpt.load_checkpoint(cache, target=state.params)
+    else:
+        @jax.jit
+        def run_chunk(state, rng):
+            def body(st, i):
+                r = jax.random.fold_in(rng, i)
+                idx = jax.random.randint(r, (batch,), 0, n_train)
+                b = {k: v[idx] for k, v in data.items()}
+                st, m = step_fn(st, b, jax.random.fold_in(r, 1))
+                return st, m["loss"]
+
+            return jax.lax.scan(body, state, jnp.arange(chunk))
+
+        rng = jax.random.PRNGKey(7)
+        losses = []
+        for c in range(-(-steps // chunk)):
+            state, ls = run_chunk(state, jax.random.fold_in(rng, c))
+            losses.extend(np.asarray(ls).tolist())
+            print(f"step {min((c + 1) * chunk, steps):4d}  loss "
+                  f"{np.asarray(ls).mean():.4f}")
+        final_params = state.params
+        if cache:
+            ckpt.save_checkpoint(cache, final_params)
+
+    diffusion = GaussianDiffusion(
+        image_size=80, timesteps=1000, beta_schedule="cosine",
+        objective="pred_noise", auto_normalize=False,
+    )
+    model_fn = lambda x, t, c: unet.apply(final_params["unet"], x, t, c)
+    # the model lives in NORMALIZED mel space (train/stage1.py:92-93)
+    cond = (normalize_mel(jnp.asarray(mono[:n_eval])),
+            jnp.asarray(feat[:n_eval]))
+    key = jax.random.PRNGKey(11)
+    gt = diffusion.ddim_sample(model_fn, cond, key, sampling_timesteps=120)
+
+    def err(n, fn):
+        return float(jnp.mean(jnp.abs(
+            fn(model_fn, cond, key, sampling_timesteps=n) - gt)))
+
+    res = {
+        "run": "dpm_vs_ddim_trained", "steps": steps,
+        "loss_first20": round(float(np.mean(losses[:20])), 4),
+        "loss_last20": round(float(np.mean(losses[-20:])), 4),
+        "err_ddim25": round(err(25, diffusion.ddim_sample), 5),
+        "err_ddim12": round(err(12, diffusion.ddim_sample), 5),
+        "err_dpm12": round(err(12, diffusion.dpm_sample), 5),
+        "err_dpm16": round(err(16, diffusion.dpm_sample), 5),
+        "err_dpm25": round(err(25, diffusion.dpm_sample), 5),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    res["dpm12_beats_ddim25"] = bool(res["err_dpm12"] <= res["err_ddim25"])
+    print(json.dumps(res))
+
+
 def make_stage2_dataset(n_segs=64, seg=16384, seed=1):
     rng = np.random.default_rng(seed)
     segs = []
@@ -278,5 +389,11 @@ if __name__ == "__main__":
         run_stage1(steps=steps, batch=batch)
     elif mode == "stage2":
         run_stage2(steps=steps, batch=batch)
+    elif mode == "dpmcheck":
+        if len(sys.argv) <= 2:
+            steps = 600
+        if len(sys.argv) <= 3:
+            batch = 8
+        run_dpmcheck(steps=steps, batch=batch)
     else:
         raise SystemExit(f"unknown mode {mode}")
