@@ -188,7 +188,45 @@ def main():
         sync(pending)
         return n_iters / (time.time() - t0)
 
-    clips_per_sec = timed_clips_per_sec(pipe, n_iters=5)
+    import signal
+
+    def _with_deadline(seconds, fn):
+        def _alarm(signum, frame):
+            raise TimeoutError(f"exceeded {seconds} s")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(seconds)
+        try:
+            return fn()
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    fused_error = None
+    if FUSE:
+        # the single-graph compile has been observed to stall through the
+        # tunnel's remote-compile helper; cap it and fall back to the
+        # two-dispatch pipeline instead of losing the whole benchmark
+        try:
+            clips_per_sec = _with_deadline(
+                1200, lambda: timed_clips_per_sec(pipe, n_iters=5)
+            )
+        except Exception as e:  # noqa: BLE001 — incl. the deadline's TimeoutError
+            fused_error = f"{type(e).__name__}: {e}"[:200]
+            print(f"[bench] fused pipeline failed ({fused_error}); "
+                  "falling back to two-dispatch", file=sys.stderr)
+            pipe = BinauralPipeline(
+                unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
+                voc_apply=lambda p, mel: voc.apply(p, mel),
+                total_frames=total_frames,
+                unet_batch=UNET_BATCH,
+                sampling_timesteps=STEPS,
+                sampler=SAMPLER,
+                fuse_vocoder=False,
+            )
+            clips_per_sec = timed_clips_per_sec(pipe, n_iters=5)
+    else:
+        clips_per_sec = timed_clips_per_sec(pipe, n_iters=5)
     record = {
         "metric": "e2e_10s_clips_per_sec",
         "value": round(clips_per_sec, 4),
@@ -197,16 +235,31 @@ def main():
         "pipeline": (
             f"mono_mel->windows->{SAMPLER}{STEPS}->stitch->vocoder->wav"
         ),
-        "dispatches_per_clip": 1,
+        "dispatches_per_clip": 1 if fused_error is None and FUSE else 2,
         "queue_depth": 2,
         "visual_encoder_included": False,
     }
+    if fused_error is not None:
+        record["fused_fallback"] = fused_error
     if (SAMPLER, STEPS) != ("ddim", PARITY_STEPS):
         # reference-parity pipeline, same glue — solver is the only change.
         # A failure here (e.g. a second remote compile dying mid-run) must
         # not lose the already-measured headline.
         try:
-            parity = timed_clips_per_sec(make_pipe("ddim", PARITY_STEPS), 3)
+            import signal
+
+            def _alarm(signum, frame):
+                raise TimeoutError("ddim25 parity run exceeded 900 s")
+
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(900)  # a parity-compile hang must not eat the
+            try:               # already-measured headline
+                parity = timed_clips_per_sec(
+                    make_pipe("ddim", PARITY_STEPS), 3
+                )
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
             record["ddim25_clips_per_sec"] = round(parity, 4)
             record["ddim25_vs_baseline"] = round(
                 parity / BASELINE_CLIPS_PER_SEC, 3

@@ -262,12 +262,16 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16):
         "loss_last20": round(float(np.mean(losses[-20:])), 4),
         "err_ddim25": round(err(25, diffusion.ddim_sample), 5),
         "err_ddim12": round(err(12, diffusion.ddim_sample), 5),
+        "err_dpm8": round(err(8, diffusion.dpm_sample), 5),
+        "err_dpm10": round(err(10, diffusion.dpm_sample), 5),
         "err_dpm12": round(err(12, diffusion.dpm_sample), 5),
         "err_dpm16": round(err(16, diffusion.dpm_sample), 5),
         "err_dpm25": round(err(25, diffusion.dpm_sample), 5),
         "wall_s": round(time.time() - t0, 1),
     }
     res["dpm12_beats_ddim25"] = bool(res["err_dpm12"] <= res["err_ddim25"])
+    res["dpm10_beats_ddim25"] = bool(res["err_dpm10"] <= res["err_ddim25"])
+    res["dpm8_beats_ddim25"] = bool(res["err_dpm8"] <= res["err_ddim25"])
     print(json.dumps(res))
 
 

@@ -33,8 +33,10 @@ run() {  # run <tag> <timeout_s> <cmd...> — returns the COMMAND's status
   return "$rc"
 }
 
-# 0. backend probe (90 s guard against the 28-min-hang failure mode)
-run probe 90 python -u -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((128,128)))))" || exit 1
+# 0. backend probe — LONG timeout: killing a probe mid-backend-init has been
+# observed to wedge the tunnel for the NEXT client too, so short probe+kill
+# cycles can keep the tunnel "down" indefinitely.  One patient probe instead.
+run probe 600 python -u -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((128,128)))))" || exit 1
 
 # 1. act kernel v4 (padless tiles) + fused snake-conv: Mosaic compile +
 #    numbers on production vocoder stages

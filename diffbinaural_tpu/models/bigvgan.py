@@ -56,12 +56,19 @@ def _normal_init(std: float):
 # Narrow-channel conv lowering: "direct" = lax.conv_general_dilated;
 # "im2col" = the k time-shifted views concatenated on lanes → ONE
 # (T, k·C)·(k·C, C_out) matmul, lifting the MXU contraction depth from
-# C ≤ 192 to k·C (the narrow AMP stages measured ~5× off the matmul
-# floor as direct convs).  Flip after benchmarks/micro.py convnarrow
-# confirms the win on real hardware; im2col trades a k× HBM blowup of
-# the conv input for the deeper contraction.
-NARROW_CONV_LOWERING = "direct"
-_NARROW_C_MAX = 127  # direct conv already fills the lanes at C ≥ 128
+# C ≤ 192 to k·C.  "auto" (default) picks the measured per-shape winner
+# (v5e, micro.py convnarrow 2026-08-19): im2col wins every k=3 stage
+# (0.49 vs 0.67 ms @ C=192 … 0.72 vs 1.27 @ C=24) and the C=24 k=7
+# stage (0.89 vs 1.07); direct wins k=7/k=11 at C ≥ 48, where XLA's
+# conv already reaches a deeper effective contraction than the k×C
+# im2col and skips its k× HBM blowup of the input.
+NARROW_CONV_LOWERING = "auto"
+_NARROW_C_MAX = 192  # direct conv already fills the lanes at C ≥ 256
+
+
+def _im2col_wins(cin: int, k: int) -> bool:
+    """Measured-winner table for NARROW_CONV_LOWERING == "auto"."""
+    return k == 3 or (k == 7 and cin <= 24)
 
 
 def im2col_conv1d(x, kernel, dilation: int, pad: int):
@@ -128,7 +135,10 @@ class WNConv1d(nn.Module):
 
         pad = get_padding(self.kernel_size, self.dilation)
         if (
-            NARROW_CONV_LOWERING == "im2col"
+            NARROW_CONV_LOWERING != "direct"
+            and (
+                NARROW_CONV_LOWERING == "im2col" or _im2col_wins(cin, k)
+            )
             and cin <= _NARROW_C_MAX
             and self.stride == 1
             and k > 1
@@ -213,7 +223,12 @@ class WNConvTranspose1d(nn.Module):
 
         p = (k - u) // 2
         b = self.param("b", nn.initializers.zeros, (self.features,))
-        if k % u == 0 and (k - u) % 2 == 0:
+        # Measured per-stage winners (v5e, micro.py convt 2026-08-19): the
+        # polyphase form wins the wide u=4 stages (0.71 vs 1.07 ms,
+        # 0.72 vs 0.96) but LOSES every narrow u=2 stage (e.g. 1.36 vs
+        # 0.80 ms at 48→24) — at small C the u× lane-width gain of the
+        # phase reshape no longer pays for the extra reshape/slice work.
+        if k % u == 0 and (k - u) % 2 == 0 and u >= 4:
             y = polyphase_conv_transpose(
                 x.astype(self.dtype), w.astype(self.dtype), u
             )
@@ -390,13 +405,20 @@ class Activation1d(nn.Module):
 def _snake_conv_fusable(channels: int, kernel_size: int) -> bool:
     """Gate for the fused snake→conv kernel: TPU platform (respecting a
     CPU default_device, like the other Pallas gates) + full-lane square
-    channels (ops.snake_conv handles the 768/384-channel AMP stages)."""
+    channels (ops.snake_conv handles the 768/384-channel AMP stages) +
+    the measured-winner set: on v5e (micro.py snakeconv 2026-08-19) the
+    fused kernel beat act-kernel + XLA conv only at C=768, k ≤ 7
+    (1.49 vs 1.84 ms @ k=3, 1.72 vs 1.84 @ k=7); at C=384 and at k=11
+    the unfused pair won, so those stages stay unfused."""
     from ..ops.snake_conv import snake_conv_eligible
 
     dev = jax.config.jax_default_device
     platform = dev.platform if dev is not None else jax.default_backend()
-    return platform == "tpu" and snake_conv_eligible(
-        channels, channels, kernel_size
+    return (
+        platform == "tpu"
+        and channels >= 768
+        and kernel_size <= 7
+        and snake_conv_eligible(channels, channels, kernel_size)
     )
 
 

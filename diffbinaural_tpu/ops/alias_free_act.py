@@ -78,7 +78,13 @@ MAX_LANES = 512  # widest folded tile (VMEM budget for f32 intermediates)
 # 'none' = cheap algebraic stand-in with the same dataflow — WRONG MATH,
 # exists only so benchmarks/micro.py can attribute VPU time between the
 # transcendental and the FIR shift/FMA lattice.
-_SIN_IMPL = os.environ.get("DIFFBINAURAL_AFA_SIN", "exact")
+# Default "fast": the cosine-polynomial sin² measured ~30% faster than the
+# hardware-exact transcendental across every production stage (v5e,
+# micro.py actsin 2026-08-19: 0.725→0.505 ms @ C=768, 1.021→0.633 @ 384,
+# 1.294→0.865 @ 96, 1.788→1.353 @ 24) and within ≈0 of 'none' (sin is
+# free once polynomialised; the remaining VPU time is the FIR lattice).
+# bf16 outputs were bit-identical to "exact" on the same sweep.
+_SIN_IMPL = os.environ.get("DIFFBINAURAL_AFA_SIN", "fast")
 
 # cos(r) on [−π, π] as an even polynomial in r² (lstsq on Chebyshev nodes;
 # max abs err 1.1e-8)

@@ -111,9 +111,19 @@ def _fwd(q, k, v, bq: int | None = None, chunks: int | None = None,
         pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
         q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
     if bq is None:
-        bq = 256 if n_pad % 256 == 0 else LANE
+        # bq=320/chunks=5 won the (bq, chunks) sweep at the UNet's n=6400
+        # both with and without residuals (micro.py flashsweep 2026-08-19:
+        # 4.44/4.40 ms vs 4.66/4.84 for the old 256/2; flashcheck passed
+        # on the new geometry).  bq=640 was marginally faster at resid=0
+        # but sporadically kills the remote compile helper — not worth it.
+        bq = 320 if n_pad % 320 == 0 else (256 if n_pad % 256 == 0 else LANE)
     if chunks is None:
-        chunks = 2 if (n_pad >= 2048 and (n_pad // 2) % LANE == 0) else 1
+        if n_pad >= 2048 and n_pad % (5 * LANE) == 0:
+            chunks = 5
+        elif n_pad >= 2048 and (n_pad // 2) % LANE == 0:
+            chunks = 2
+        else:
+            chunks = 1
 
     qb_spec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0))
     kv_spec = pl.BlockSpec(
