@@ -252,26 +252,55 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16):
     key = jax.random.PRNGKey(11)
     gt = diffusion.ddim_sample(model_fn, cond, key, sampling_timesteps=120)
 
-    def err(n, fn):
-        return float(jnp.mean(jnp.abs(
-            fn(model_fn, cond, key, sampling_timesteps=n) - gt)))
+    # TWO yardsticks, deliberately:
+    #   err_*      — trajectory distance to the DDIM-120 endpoint.  Only
+    #                meaningful between DDIM step counts (coarse vs fine
+    #                grid of the SAME update rule).  DPM-Solver++ converges
+    #                to a slightly different endpoint on a rough learned
+    #                score field (the per-step mix_t refresh makes the
+    #                effective dynamics discretisation-dependent), so a
+    #                plateauing err_dpm* does NOT measure sample quality.
+    #   tgt_*      — L1 to the TRUE held-out binaural target in normalized
+    #                mel space: the product metric (what evaluation/
+    #                mel_rmse.py scores).  This is the gate for serving-
+    #                mode step counts: dpm-N parity means tgt_dpmN is
+    #                within tol of tgt_ddim25.
+    t_eval = normalize_mel(jnp.asarray(target[:n_eval]))
+
+    def sample(n, fn):
+        return fn(model_fn, cond, key, sampling_timesteps=n)
+
+    def err(x):
+        return float(jnp.mean(jnp.abs(x - gt)))
+
+    def tgt(x):
+        return float(jnp.mean(jnp.abs(x - t_eval)))
 
     res = {
         "run": "dpm_vs_ddim_trained", "steps": steps,
         "loss_first20": round(float(np.mean(losses[:20])), 4),
         "loss_last20": round(float(np.mean(losses[-20:])), 4),
-        "err_ddim25": round(err(25, diffusion.ddim_sample), 5),
-        "err_ddim12": round(err(12, diffusion.ddim_sample), 5),
-        "err_dpm8": round(err(8, diffusion.dpm_sample), 5),
-        "err_dpm10": round(err(10, diffusion.dpm_sample), 5),
-        "err_dpm12": round(err(12, diffusion.dpm_sample), 5),
-        "err_dpm16": round(err(16, diffusion.dpm_sample), 5),
-        "err_dpm25": round(err(25, diffusion.dpm_sample), 5),
-        "wall_s": round(time.time() - t0, 1),
+        "tgt_ddim120": round(tgt(gt), 5),
+        "wall_s": 0.0,
     }
+    for name, n, fn in (
+        ("ddim25", 25, diffusion.ddim_sample),
+        ("ddim12", 12, diffusion.ddim_sample),
+        ("dpm8", 8, diffusion.dpm_sample),
+        ("dpm10", 10, diffusion.dpm_sample),
+        ("dpm12", 12, diffusion.dpm_sample),
+        ("dpm16", 16, diffusion.dpm_sample),
+        ("dpm25", 25, diffusion.dpm_sample),
+    ):
+        x = sample(n, fn)
+        res[f"err_{name}"] = round(err(x), 5)
+        res[f"tgt_{name}"] = round(tgt(x), 5)
+    res["wall_s"] = round(time.time() - t0, 1)
+    # quality gates: within 2% of the DDIM-25 target error (or better)
+    for n in (8, 10, 12):
+        res[f"dpm{n}_quality_parity"] = bool(
+            res[f"tgt_dpm{n}"] <= 1.02 * res["tgt_ddim25"])
     res["dpm12_beats_ddim25"] = bool(res["err_dpm12"] <= res["err_ddim25"])
-    res["dpm10_beats_ddim25"] = bool(res["err_dpm10"] <= res["err_ddim25"])
-    res["dpm8_beats_ddim25"] = bool(res["err_dpm8"] <= res["err_ddim25"])
     print(json.dumps(res))
 
 
