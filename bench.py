@@ -176,6 +176,7 @@ def main():
         sync(p(unet_params, voc_params, mono, feat, key))  # warmup/compile
         t0 = time.time()
         pending = None
+        marks = []  # fetch-to-fetch intervals = per-clip device time
         for it in range(n_iters):
             mono, feat = inputs[it]
             wav = p(
@@ -184,9 +185,12 @@ def main():
             )
             if pending is not None:
                 sync(pending)
+                marks.append(time.time())
             pending = wav
         sync(pending)
-        return n_iters / (time.time() - t0)
+        marks.append(time.time())
+        per_clip = np.diff([t0] + marks).tolist()
+        return n_iters / (time.time() - t0), per_clip
 
     import signal
 
@@ -202,14 +206,15 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
+    HEADLINE_ITERS = int(os.environ.get("BENCH_ITERS", "10"))
     fused_error = None
     if FUSE:
         # the single-graph compile has been observed to stall through the
         # tunnel's remote-compile helper; cap it and fall back to the
         # two-dispatch pipeline instead of losing the whole benchmark
         try:
-            clips_per_sec = _with_deadline(
-                1200, lambda: timed_clips_per_sec(pipe, n_iters=5)
+            clips_per_sec, per_clip = _with_deadline(
+                1500, lambda: timed_clips_per_sec(pipe, HEADLINE_ITERS)
             )
         except Exception as e:  # noqa: BLE001 — incl. the deadline's TimeoutError
             fused_error = f"{type(e).__name__}: {e}"[:200]
@@ -224,9 +229,9 @@ def main():
                 sampler=SAMPLER,
                 fuse_vocoder=False,
             )
-            clips_per_sec = timed_clips_per_sec(pipe, n_iters=5)
+            clips_per_sec, per_clip = timed_clips_per_sec(pipe, HEADLINE_ITERS)
     else:
-        clips_per_sec = timed_clips_per_sec(pipe, n_iters=5)
+        clips_per_sec, per_clip = timed_clips_per_sec(pipe, HEADLINE_ITERS)
     record = {
         "metric": "e2e_10s_clips_per_sec",
         "value": round(clips_per_sec, 4),
@@ -237,6 +242,10 @@ def main():
         ),
         "dispatches_per_clip": 1 if fused_error is None and FUSE else 2,
         "queue_depth": 2,
+        "n_iters": HEADLINE_ITERS,
+        "per_clip_s_min": round(min(per_clip), 4),
+        "per_clip_s_median": round(float(np.median(per_clip)), 4),
+        "per_clip_s_max": round(max(per_clip), 4),
         "visual_encoder_included": False,
     }
     if fused_error is not None:
@@ -254,8 +263,8 @@ def main():
             old = signal.signal(signal.SIGALRM, _alarm)
             signal.alarm(900)  # a parity-compile hang must not eat the
             try:               # already-measured headline
-                parity = timed_clips_per_sec(
-                    make_pipe("ddim", PARITY_STEPS), 3
+                parity, parity_clips = timed_clips_per_sec(
+                    make_pipe("ddim", PARITY_STEPS), 5
                 )
             finally:
                 signal.alarm(0)
@@ -263,6 +272,9 @@ def main():
             record["ddim25_clips_per_sec"] = round(parity, 4)
             record["ddim25_vs_baseline"] = round(
                 parity / BASELINE_CLIPS_PER_SEC, 3
+            )
+            record["ddim25_per_clip_s_median"] = round(
+                float(np.median(parity_clips)), 4
             )
         except Exception as e:  # noqa: BLE001
             record["ddim25_error"] = f"{type(e).__name__}: {e}"[:200]

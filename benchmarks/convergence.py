@@ -164,47 +164,65 @@ def run_stage1(steps=400, batch=16, chunk=25, n_clips=256):
     }))
 
 
-def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16):
+def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16,
+                 grids=False):
     """Solver-accuracy check on a TRAINED model of the real architecture.
 
     A random-init UNet is not a score field (measured: DPM-12 is WORSE
     than DDIM-25 on random weights — second-order extrapolation amplifies
     the non-smoothness), so the DPM claim is only meaningful once the net
-    approximates a real score.  This trains the tiny UNet on the panned-
+    approximates a real score.  This trains the UNet on the panned-
     tone task until L1 clearly descends, then compares solvers against a
     120-step DDIM ground truth on held-out conditions, all in the
     NORMALIZED mel space the model was trained in (the train step
     normalizes internally — conditioning on raw ln-mels is off-manifold
     and was measured to send every solver to a different endpoint).
-    CPU-runnable.  Set DPMCHECK_PARAMS=/path to cache/reuse the trained
-    params across reruns of the eval.
+    CPU-runnable at the toy default (dim=16, 16 frames); the PRODUCTION
+    validation is ``dpmcheck 1500 16 64 80 256`` on TPU (dim=64, 80x80
+    windows — the exact serving architecture).  Set DPMCHECK_PARAMS=/path
+    to cache/reuse the trained params across reruns of the eval.
+
+    ``grids=True`` (CLI mode ``gridsweep``) additionally re-runs the DPM
+    time-grid sweep from diffusion/gaussian._dpm_time_pairs on the TRAINED
+    net (t-uniform / power-p / λ-uniform / Karras-ρ at NFE 8 and 12),
+    scoring each grid by tgt (L1 to the true held-out target) — the
+    trained-model justification for the shipped power-2.5 default, which
+    the analytic-GMM sweep alone could not give.
     """
     from diffbinaural_tpu.core import checkpoint as ckpt
     from diffbinaural_tpu.diffusion import GaussianDiffusion
-    from diffbinaural_tpu.infer.stage1 import normalize_mel
+    from diffbinaural_tpu.infer.stage1 import denormalize_mel, normalize_mel
     from diffbinaural_tpu.models import AudioVisualModel
     from diffbinaural_tpu.train import make_stage1_train_step
 
-    print(f"building dataset ({n_clips} clips, {frames} frames)...")
+    print(f"building dataset ({n_clips} clips, {frames} frames, "
+          f"dim={dim})...")
     mono, target, feat = make_stage1_dataset(n_clips, frames=frames)
     n_eval = 8
-    data = {
+    dev = jax.devices()[0]
+    data = jax.device_put({
         "mono_mel": jnp.asarray(mono[n_eval:]),
         "binaural_mel": jnp.asarray(target[n_eval:]),
         "feat": jnp.asarray(feat[n_eval:]),
-    }
+    }, dev)
     n_train = n_clips - n_eval
 
-    unet = AudioVisualModel(dim=dim)
-    params = {
-        "unet": unet.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 2, 80, frames)),
-            jnp.zeros((1,), jnp.int32),
-            (jnp.zeros((1, 1, 80, frames)), jnp.zeros((1, 512)),
-             jnp.zeros((1, 2, 80, frames))),
-        )
-    }
+    # production serving runs bf16 matmuls; match it at production dim so
+    # the solver comparison sees the score field the pipeline actually uses
+    unet = AudioVisualModel(
+        dim=dim, dtype=jnp.bfloat16 if dim >= 64 else jnp.float32
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = {
+            "unet": unet.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 2, 80, frames)),
+                jnp.zeros((1,), jnp.int32),
+                (jnp.zeros((1, 1, 80, frames)), jnp.zeros((1, 512)),
+                 jnp.zeros((1, 2, 80, frames))),
+            )
+        }
+    params = jax.device_put(params, dev)
     init_fn, step_fn = make_stage1_train_step(
         unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
         lr_unet=2e-4, donate=False,
@@ -267,8 +285,12 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16):
     #                within tol of tgt_ddim25.
     t_eval = normalize_mel(jnp.asarray(target[:n_eval]))
 
-    def sample(n, fn):
-        return fn(model_fn, cond, key, sampling_timesteps=n)
+    def sample(n, fn, **kw):
+        # one fresh jit per (solver, n, grid): eager dispatch of a 25-step
+        # scan through the tunnel is minutes at production size
+        return jax.jit(
+            lambda c, k: fn(model_fn, c, k, sampling_timesteps=n, **kw)
+        )(cond, key)
 
     def err(x):
         return float(jnp.mean(jnp.abs(x - gt)))
@@ -276,13 +298,25 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16):
     def tgt(x):
         return float(jnp.mean(jnp.abs(x - t_eval)))
 
+    t_raw = jnp.asarray(target[:n_eval])
+
+    def melrmse(x):
+        # e2e product metric: RMSE in raw ln-mel space (the units
+        # evaluation/mel_rmse.py scores), denormalized sample vs true target
+        return float(jnp.sqrt(jnp.mean(
+            (denormalize_mel(x) - t_raw) ** 2)))
+
     res = {
-        "run": "dpm_vs_ddim_trained", "steps": steps,
+        "run": "dpm_vs_ddim_trained", "steps": steps, "dim": dim,
+        "frames": frames, "n_clips": n_clips,
         "loss_first20": round(float(np.mean(losses[:20])), 4),
         "loss_last20": round(float(np.mean(losses[-20:])), 4),
         "tgt_ddim120": round(tgt(gt), 5),
+        "melrmse_ddim120": round(melrmse(gt), 5),
         "wall_s": 0.0,
     }
+    tgt_raw = {}  # unrounded, for gate comparisons (rounding can flip a gate)
+    melrmse_raw = {}
     for name, n, fn in (
         ("ddim25", 25, diffusion.ddim_sample),
         ("ddim12", 12, diffusion.ddim_sample),
@@ -293,14 +327,32 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16):
         ("dpm25", 25, diffusion.dpm_sample),
     ):
         x = sample(n, fn)
+        tgt_raw[name] = tgt(x)
+        melrmse_raw[name] = melrmse(x)
         res[f"err_{name}"] = round(err(x), 5)
-        res[f"tgt_{name}"] = round(tgt(x), 5)
-    res["wall_s"] = round(time.time() - t0, 1)
-    # quality gates: within 2% of the DDIM-25 target error (or better)
+        res[f"tgt_{name}"] = round(tgt_raw[name], 5)
+        res[f"melrmse_{name}"] = round(melrmse_raw[name], 5)
+        print(f"  {name}: tgt={tgt_raw[name]:.5f} "
+              f"melrmse={melrmse_raw[name]:.5f}")
+    # quality gates: within 2% of the DDIM-25 target error (or better).
+    # These tgt_* gates are the ONLY serving-mode quality claim here; err_*
+    # is a DDIM-grid diagnostic and is never compared across solvers (see
+    # the yardstick comment above).
     for n in (8, 10, 12):
         res[f"dpm{n}_quality_parity"] = bool(
-            res[f"tgt_dpm{n}"] <= 1.02 * res["tgt_ddim25"])
-    res["dpm12_beats_ddim25"] = bool(res["err_dpm12"] <= res["err_ddim25"])
+            tgt_raw[f"dpm{n}"] <= 1.02 * tgt_raw["ddim25"])
+        res[f"dpm{n}_melrmse_parity"] = bool(
+            melrmse_raw[f"dpm{n}"] <= 1.02 * melrmse_raw["ddim25"])
+    if grids:
+        # trained-net re-sweep of the DPM time grid (VERDICT r2 item 7):
+        # same trained score field, same x_T, only the grid varies
+        for g in ("power1", "power1.5", "power2", "power2.5", "power3",
+                  "lambda", "karras7"):
+            for n in (8, 12):
+                x = sample(n, diffusion.dpm_sample, time_grid=g)
+                res[f"grid_{g}_dpm{n}_tgt"] = round(tgt(x), 5)
+                print(f"  grid {g} dpm{n}: tgt={res[f'grid_{g}_dpm{n}_tgt']}")
+    res["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(res))
 
 
@@ -314,7 +366,11 @@ def make_stage2_dataset(n_segs=64, seg=16384, seed=1):
 
 
 def run_stage2(steps=1000, batch=16, chunk=25):
+    """Trains the production BigVGAN GAN step on the synthetic-tone task.
+    Set STAGE2_PARAMS=/path to cache the trained generator params (reused
+    by benchmarks/quality.py); returns the final generator params."""
     from diffbinaural_tpu.cli.gan_common import build_discriminators
+    from diffbinaural_tpu.core import checkpoint as ckpt
     from diffbinaural_tpu.core.config import AttrDict, VocoderConfig
     from diffbinaural_tpu.losses import MultiScaleMelSpectrogramLoss
     from diffbinaural_tpu.models.bigvgan import BigVGAN
@@ -410,6 +466,11 @@ def run_stage2(steps=1000, batch=16, chunk=25):
         "disc_alive": bool(0.01 < float(disc_l[-100:].mean()) < 10.0),
         "wall_s": round(dt, 1),
     }))
+    cache = os.environ.get("STAGE2_PARAMS", "")
+    if cache:
+        ckpt.save_checkpoint(cache, state.gen_params)
+        print(f"saved trained generator params to {cache}")
+    return state.gen_params
 
 
 if __name__ == "__main__":
@@ -422,11 +483,18 @@ if __name__ == "__main__":
         run_stage1(steps=steps, batch=batch)
     elif mode == "stage2":
         run_stage2(steps=steps, batch=batch)
-    elif mode == "dpmcheck":
+    elif mode in ("dpmcheck", "gridsweep"):
+        # dpmcheck [steps] [batch] [dim] [frames] [n_clips]
+        # toy (CPU-runnable): dpmcheck          -> 600 8 16 16 64
+        # production (TPU):   dpmcheck 1500 16 64 80 256
         if len(sys.argv) <= 2:
             steps = 600
         if len(sys.argv) <= 3:
             batch = 8
-        run_dpmcheck(steps=steps, batch=batch)
+        dim = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+        frames = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+        n_clips = int(sys.argv[6]) if len(sys.argv) > 6 else 64
+        run_dpmcheck(steps=steps, batch=batch, dim=dim, frames=frames,
+                     n_clips=n_clips, grids=(mode == "gridsweep"))
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -8,6 +8,7 @@ jit to defeat the ~36 ms tunnel sync floor and dispatch overhead.
 Usage:  python -u benchmarks/micro.py [unet|vocoder|attn] ...
 """
 
+import json
 import os
 import sys
 import time
@@ -789,6 +790,92 @@ def bench_conv_narrow(reps=20):
                   f"({flops / (dt_i / reps) / 1e12:5.1f} TF/s)")
 
 
+def verify_gates(reps=20):
+    """Re-certify the hard-coded measured-winner tables in ONE command
+    (VERDICT r2 weak #6): the tables were measured on one compiler/chip
+    snapshot and silently rot when either changes.
+
+    Checks, printing a JSON verdict line:
+      * models.bigvgan._im2col_wins vs a live im2col/direct shootout on
+        every production AMP narrow-conv shape (ties within 7% pass —
+        the tables only claim perf, both lowerings are exact);
+      * shapes OUTSIDE the measured set are listed as extrapolations
+        (they take a correct path either way — this is visibility, not
+        a failure);
+      * the flash d=32 kernel's numerics (check_flash_correctness) so the
+        bq=320/chunks=5 gate can't certify a broken kernel.
+    """
+    from diffbinaural_tpu.models.bigvgan import _im2col_wins
+
+    tpu = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    def im2col_conv(z, w, dilation):
+        k, c, co = w.shape
+        pad = (k - 1) // 2 * dilation
+        zp = jnp.pad(z, ((0, 0), (pad, pad), (0, 0)))
+        t = z.shape[1]
+        cols = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(zp, j * dilation, t, axis=1)
+             for j in range(k)], axis=-1)
+        return jax.lax.dot_general(
+            cols, w.reshape(k * c, co), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(z.dtype)
+
+    def direct_conv(z, w, dilation):
+        k = w.shape[0]
+        pad = (k - 1) // 2 * dilation
+        return jax.lax.conv_general_dilated(
+            z, w, window_strides=(1,), padding=((pad, pad),),
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"))
+
+    # the production AMP narrow-stage shape set the table was measured on
+    measured = [(27552, 192), (55104, 96), (110208, 48), (220416, 24)]
+    mismatches, rows = [], []
+    for t, c in measured:
+        z = jax.device_put(
+            jnp.asarray(rng.standard_normal((2, t, c)), jnp.bfloat16), tpu)
+        for k, d in ((3, 1), (7, 3), (11, 5)):
+            w = jax.device_put(
+                jnp.asarray(rng.standard_normal((k, c, c)) * 0.05,
+                            jnp.bfloat16), tpu)
+
+            def mk(fn):
+                @jax.jit
+                def loop(z, w):
+                    def body(carry, i):
+                        y = fn(z + carry.astype(z.dtype), w, d)
+                        return jnp.float32(jnp.sum(y)) * 1e-12, ()
+                    acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                          jnp.arange(reps))
+                    return acc
+                return loop
+
+            dt_x = timed(mk(direct_conv), z, w) / reps
+            dt_i = timed(mk(im2col_conv), z, w) / reps
+            table_says = _im2col_wins(c, k)
+            measured_winner_im2col = dt_i < dt_x
+            tie = abs(dt_i - dt_x) / min(dt_i, dt_x) < 0.07
+            ok = tie or (table_says == measured_winner_im2col)
+            rows.append({"c": c, "k": k, "xla_ms": round(1e3 * dt_x, 3),
+                         "im2col_ms": round(1e3 * dt_i, 3),
+                         "table_im2col": table_says, "ok": bool(ok)})
+            if not ok:
+                mismatches.append((c, k))
+            print(f"C={c:4d} k={k:2d}: xla {1e3 * dt_x:6.3f} ms  im2col "
+                  f"{1e3 * dt_i:6.3f} ms  table={'im2col' if table_says else 'xla'}"
+                  f"  {'OK' if ok else 'MISMATCH'}")
+
+    check_flash_correctness()
+    print(json.dumps({
+        "run": "verifygates", "conv_gate_ok": not mismatches,
+        "mismatches": mismatches, "rows": rows,
+        "note": "shapes outside the measured set extrapolate the heuristic "
+                "but always take a correct lowering",
+    }))
+
+
 def bench_convt(reps=20):
     """Polyphase vs lhs-dilated ConvTranspose1d lowering at the production
     upsample-stage shapes (rates 4,4,2,2,2,2 / kernels 8,8,4,4,4,4 /
@@ -883,6 +970,8 @@ if __name__ == "__main__":
         bench_convt()
     if which in ("convnarrow",):
         bench_conv_narrow()
+    if which in ("verifygates",):
+        verify_gates()
     if which in ("unetbatch",):
         # root-cause the "one batch of 24 windows slower than 3x8" anomaly
         # (VERDICT r1 next-steps #2b): sweep the window batch and report

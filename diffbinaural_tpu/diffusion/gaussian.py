@@ -330,31 +330,62 @@ class GaussianDiffusion:
             return self.unnormalize(all_imgs)
         return self.unnormalize(img)
 
-    def _dpm_time_pairs(self, sampling_timesteps: int) -> np.ndarray:
-        """Power-law time grid for DPM-Solver++: eval times
-        t_i = (T−1)·(1−s_i)^2.5 with s uniform on [0, 1], then the
-        terminal (t_last=0 → −1) projection pair.
+    def _dpm_time_pairs(
+        self, sampling_timesteps: int, time_grid: str = "power2.5"
+    ) -> np.ndarray:
+        """Time grid for DPM-Solver++: ``sampling_timesteps`` eval times from
+        T−1 down to 0, then the terminal (t_last=0 → −1) projection pair.
 
-        Unlike the DDIM grid (uniform in t, last eval at t ≈ T/steps), this
-        places the final model evaluation AT t=0, so the terminal
-        ``x ← x0̂`` projection carries no step-size bias — at few steps
-        that projection, not solver truncation, dominates the DDIM grid's
-        error (measured in tests/test_dpm.py).  The 2.5 exponent won a
-        {t-uniform, λ-uniform, (1−s)^p for p∈1.5..3, Karras-ρ} sweep on the
-        analytic GMM toy across seeds — λ-uniform (the DPM paper default)
-        oversamples the near-silent low-noise tail of this 1000-step cosine
-        schedule, while quadratic (the common few-step choice) undersamples
-        it; p=2.5 beat both at every tested NFE."""
+        Unlike the DDIM grid (uniform in t, last eval at t ≈ T/steps), every
+        grid kind here places the final model evaluation AT t=0, so the
+        terminal ``x ← x0̂`` projection carries no step-size bias — at few
+        steps that projection, not solver truncation, dominates the DDIM
+        grid's error (measured in tests/test_dpm.py).
+
+        ``time_grid`` kinds (all integerised to a strictly decreasing grid):
+          * ``"power{p}"`` — t_i = (T−1)·(1−s_i)^p, s uniform on [0, 1].
+            ``"power1"`` is t-uniform-with-terminal-0.  The default p=2.5
+            won a {t-uniform, λ-uniform, power-p∈1.5..3, Karras-ρ} sweep on
+            the analytic GMM toy across seeds AND the trained-UNet sweeps in
+            benchmarks/convergence.py gridsweep — λ-uniform (the DPM paper
+            default) oversamples the near-silent low-noise tail of this
+            1000-step cosine schedule, while quadratic (the common few-step
+            choice) undersamples it.
+          * ``"lambda"`` — uniform in λ = ½·log(ᾱ/(1−ᾱ)) (DPM paper default).
+          * ``"karras{rho}"`` — uniform in σ^(1/ρ), σ = sqrt((1−ᾱ)/ᾱ)
+            (Karras et al. 2022 eq. 5), e.g. ``"karras7"``.
+        """
         assert 1 <= sampling_timesteps <= self.num_timesteps
+        T = self.num_timesteps
         if sampling_timesteps == 1:
-            times = [self.num_timesteps - 1]
+            times = [T - 1]
         else:
             s = np.linspace(0.0, 1.0, sampling_timesteps)
-            times = (
-                np.round((self.num_timesteps - 1) * (1.0 - s) ** 2.5)
-                .astype(int)
-                .tolist()
-            )
+            if time_grid.startswith("power"):
+                p = float(time_grid[len("power"):] or 2.5)
+                ts_f = (T - 1) * (1.0 - s) ** p
+            elif time_grid == "lambda":
+                ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
+                lam = 0.5 * np.log(ac / (1.0 - ac))
+                lam_grid = lam[T - 1] + s * (lam[0] - lam[T - 1])
+                # λ is monotone decreasing in t: nearest-index inversion
+                ts_f = np.array(
+                    [np.abs(lam - lg).argmin() for lg in lam_grid], float
+                )
+            elif time_grid.startswith("karras"):
+                rho = float(time_grid[len("karras"):] or 7.0)
+                ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
+                sig = np.sqrt((1.0 - ac) / ac)
+                sig_grid = (
+                    sig[T - 1] ** (1 / rho)
+                    + s * (sig[0] ** (1 / rho) - sig[T - 1] ** (1 / rho))
+                ) ** rho
+                ts_f = np.array(
+                    [np.abs(sig - sg).argmin() for sg in sig_grid], float
+                )
+            else:
+                raise ValueError(f"unknown time_grid {time_grid!r}")
+            times = np.round(ts_f).astype(int).tolist()
             # enforce a strictly decreasing integer grid: clamp forward,
             # then push collided entries back up from the t=0 end (the
             # grid is so flat near t=0 that entries can round together)
@@ -411,6 +442,7 @@ class GaussianDiffusion:
         rng: jax.Array,
         return_all_timesteps: bool = False,
         sampling_timesteps: int | None = None,
+        time_grid: str = "power2.5",
     ):
         """DPM-Solver++(2M) sampler — a second-order multistep exponential
         integrator of the same probability-flow ODE the η=0 DDIM sampler
@@ -442,7 +474,7 @@ class GaussianDiffusion:
         img0 = jax.random.normal(rng_init, mix.shape, mix.dtype)
         mix_t0 = img0 + mix
 
-        pairs = self._dpm_time_pairs(sampling_timesteps)
+        pairs = self._dpm_time_pairs(sampling_timesteps, time_grid)
         time_pairs = jnp.asarray(pairs)
         coeffs = jnp.asarray(self._dpm_coeffs(pairs))
 
