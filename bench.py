@@ -69,6 +69,13 @@ PARITY_STEPS = 25  # the reference's production DDIM setting
 # BENCH_FUSE=0 → two-dispatch pipeline (stage1+stitch / vocoder), the
 # hedge if the single-graph remote compile is pathological on the tunnel.
 FUSE = os.environ.get("BENCH_FUSE", "1") != "0"
+# BENCH_VISUAL=1 → per-clip frozen-CLIP feature extraction (ClipPos2D over
+# one 224×224 crop × ≤4 sources per window — the reference's live
+# conditioning path, networks.py:389-439) is timed INSIDE the per-clip
+# loop instead of consuming precomputed features.  Off by default: the
+# A100 anchor counts only UNet passes + vocoder.
+VISUAL = os.environ.get("BENCH_VISUAL", "0") == "1"
+N_SOURCES = 4
 
 
 def _wait_for_backend(attempts: int = 4, probe_timeout: int = 150) -> None:
@@ -130,16 +137,40 @@ def main():
     unet_params = jax.device_put(unet_params, tpu)
     voc_params = jax.device_put(voc_params, tpu)
 
-    def make_pipe(sampler, steps):
-        return BinauralPipeline(
+    if VISUAL:
+        from diffbinaural_tpu.models.visual import ClipPos2D
+
+        enc = ClipPos2D(dtype=jnp.bfloat16)
+        with jax.default_device(cpu):
+            enc_params = enc.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, 3, 1, 1, 224, 224)),
+                jnp.zeros((1, 1, 1, 2)),
+                jnp.zeros((1, 1, 1), bool),
+            )
+        enc_params = jax.device_put(enc_params, tpu)
+        feat_fn = jax.jit(lambda f, po, ma: enc.apply(enc_params, f, po, ma))
+
+    def make_pipe(sampler, steps, fuse=None):
+        base = BinauralPipeline(
             unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
             voc_apply=lambda p, mel: voc.apply(p, mel),
             total_frames=total_frames,
             unet_batch=UNET_BATCH,
             sampling_timesteps=steps,
             sampler=sampler,
-            fuse_vocoder=FUSE,
+            fuse_vocoder=FUSE if fuse is None else fuse,
         )
+        if not VISUAL:
+            return base
+
+        # per-window frames → ClipPos2D features INSIDE the timed path;
+        # the wav fetch still fences it (feat → stage-1 → stitch → wav)
+        def with_visual(up, vp, mono, vis, key):
+            return base(up, vp, mono, feat_fn(*vis), key)
+
+        with_visual.n_slots = base.n_slots
+        return with_visual
 
     pipe = make_pipe(SAMPLER, STEPS)
 
@@ -148,11 +179,21 @@ def main():
 
     def fresh_clip():
         mono = rng_np.standard_normal((1, 80, total_frames)) - 6.0
-        feat = rng_np.standard_normal((pipe.n_slots, 512))
-        return (
-            jnp.asarray(mono.astype(np.float32)),
-            jnp.asarray(feat.astype(np.float32)),
-        )
+        mono = jnp.asarray(mono.astype(np.float32))
+        n = pipe.n_slots
+        if VISUAL:
+            # one 224×224 crop × N_SOURCES per window (num_frames=1, the
+            # reference default); window axis = encoder batch axis
+            vis = (
+                jnp.asarray(rng_np.standard_normal(
+                    (n, 3, 1, N_SOURCES, 224, 224)).astype(np.float32)),
+                jnp.asarray(rng_np.uniform(
+                    -1, 1, (n, 1, N_SOURCES, 2)).astype(np.float32)),
+                jnp.zeros((n, 1, N_SOURCES), bool),
+            )
+            return mono, vis
+        feat = rng_np.standard_normal((n, 512))
+        return mono, jnp.asarray(feat.astype(np.float32))
 
     key = jax.random.PRNGKey(13)
 
@@ -220,15 +261,7 @@ def main():
             fused_error = f"{type(e).__name__}: {e}"[:200]
             print(f"[bench] fused pipeline failed ({fused_error}); "
                   "falling back to two-dispatch", file=sys.stderr)
-            pipe = BinauralPipeline(
-                unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
-                voc_apply=lambda p, mel: voc.apply(p, mel),
-                total_frames=total_frames,
-                unet_batch=UNET_BATCH,
-                sampling_timesteps=STEPS,
-                sampler=SAMPLER,
-                fuse_vocoder=False,
-            )
+            pipe = make_pipe(SAMPLER, STEPS, fuse=False)
             clips_per_sec, per_clip = timed_clips_per_sec(pipe, HEADLINE_ITERS)
     else:
         clips_per_sec, per_clip = timed_clips_per_sec(pipe, HEADLINE_ITERS)
@@ -246,8 +279,10 @@ def main():
         "per_clip_s_min": round(min(per_clip), 4),
         "per_clip_s_median": round(float(np.median(per_clip)), 4),
         "per_clip_s_max": round(max(per_clip), 4),
-        "visual_encoder_included": False,
+        "visual_encoder_included": VISUAL,
     }
+    if VISUAL:
+        record["visual_frames_per_clip"] = pipe.n_slots * N_SOURCES
     if fused_error is not None:
         record["fused_fallback"] = fused_error
     if (SAMPLER, STEPS) != ("ddim", PARITY_STEPS):

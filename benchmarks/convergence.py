@@ -70,6 +70,17 @@ def _pan_binaural(mono, p, max_itd=12):
     return np.stack([left, right]).astype(np.float32)
 
 
+def _feat_basis(rng):
+    """The (u, v) basis that encodes pan position p as feat = p*u + v.
+    Drawn FIRST from the dataset rng so held-out clip generators (seeded
+    differently for content) can recover the identical training basis."""
+    u = rng.standard_normal(512).astype(np.float32)
+    u /= np.linalg.norm(u)
+    v = rng.standard_normal(512).astype(np.float32)
+    v /= np.linalg.norm(v)
+    return u, v
+
+
 def make_stage1_dataset(n_clips=256, frames=80, seed=0):
     """Returns (mono_mel (N,1,80,F), binaural_mel (N,2,80,F), feat (N,512))."""
     from diffbinaural_tpu.data.meldataset import _MelFrontend
@@ -77,10 +88,7 @@ def make_stage1_dataset(n_clips=256, frames=80, seed=0):
     rng = np.random.default_rng(seed)
     mel = _MelFrontend(1024, 80, SR, HOP, 1024, 0.0, None)
     n_samples = frames * HOP + 1024
-    u = rng.standard_normal(512).astype(np.float32)
-    u /= np.linalg.norm(u)
-    v = rng.standard_normal(512).astype(np.float32)
-    v /= np.linalg.norm(v)
+    u, v = _feat_basis(rng)
     monos, bins, feats = [], [], []
     for _ in range(n_clips):
         f0 = rng.uniform(150.0, 900.0)
@@ -164,6 +172,82 @@ def run_stage1(steps=400, batch=16, chunk=25, n_clips=256):
     }))
 
 
+def train_stage1_params(dim, frames=80, n_clips=256, steps=1500, batch=16,
+                        cache="", lr=2e-4, seed=0, holdout=0):
+    """Train (or load from ``cache``) stage-1 UNet params on the panned-tone
+    task at the given architecture size.  The first ``holdout`` clips of the
+    seed-``seed`` dataset are excluded from training (eval conditions).
+    Returns (unet_module, params, losses, (mono, target, feat)) — losses are
+    NaN when loaded from cache.  Shared by dpmcheck and benchmarks/quality.py
+    so both validations score the SAME trained score field."""
+    from diffbinaural_tpu.core import checkpoint as ckpt
+    from diffbinaural_tpu.models import AudioVisualModel
+    from diffbinaural_tpu.train import make_stage1_train_step
+
+    print(f"building dataset ({n_clips} clips, {frames} frames, dim={dim})...")
+    mono, target, feat = make_stage1_dataset(n_clips, frames=frames, seed=seed)
+    dev = jax.devices()[0]
+    data = jax.device_put({
+        "mono_mel": jnp.asarray(mono[holdout:]),
+        "binaural_mel": jnp.asarray(target[holdout:]),
+        "feat": jnp.asarray(feat[holdout:]),
+    }, dev)
+    n_train = n_clips - holdout
+
+    # production serving runs bf16 matmuls; match it at production dim so
+    # downstream solver/quality comparisons see the score field the
+    # pipeline actually uses
+    unet = AudioVisualModel(
+        dim=dim, dtype=jnp.bfloat16 if dim >= 64 else jnp.float32
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = {
+            "unet": unet.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 2, 80, frames)),
+                jnp.zeros((1,), jnp.int32),
+                (jnp.zeros((1, 1, 80, frames)), jnp.zeros((1, 512)),
+                 jnp.zeros((1, 2, 80, frames))),
+            )
+        }
+    params = jax.device_put(params, dev)
+    init_fn, step_fn = make_stage1_train_step(
+        unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
+        lr_unet=lr, donate=False,
+    )
+    state = init_fn(params)
+    losses = [float("nan")] * steps
+    if cache and os.path.exists(cache):
+        print(f"loading cached stage-1 params from {cache}")
+        final = ckpt.load_checkpoint(cache, target=state.params)
+        return unet, final, losses, (mono, target, feat)
+
+    chunk = 50
+
+    @jax.jit
+    def run_chunk(state, rng):
+        def body(st, i):
+            r = jax.random.fold_in(rng, i)
+            idx = jax.random.randint(r, (batch,), 0, n_train)
+            b = {k: v[idx] for k, v in data.items()}
+            st, m = step_fn(st, b, jax.random.fold_in(r, 1))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(chunk))
+
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for c in range(-(-steps // chunk)):
+        state, ls = run_chunk(state, jax.random.fold_in(rng, c))
+        losses.extend(np.asarray(ls).tolist())
+        print(f"step {min((c + 1) * chunk, steps):4d}  loss "
+              f"{np.asarray(ls).mean():.4f}")
+    if cache:
+        ckpt.save_checkpoint(cache, state.params)
+        print(f"saved trained stage-1 params to {cache}")
+    return unet, state.params, losses, (mono, target, feat)
+
+
 def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16,
                  grids=False):
     """Solver-accuracy check on a TRAINED model of the real architecture.
@@ -189,75 +273,15 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16,
     trained-model justification for the shipped power-2.5 default, which
     the analytic-GMM sweep alone could not give.
     """
-    from diffbinaural_tpu.core import checkpoint as ckpt
     from diffbinaural_tpu.diffusion import GaussianDiffusion
     from diffbinaural_tpu.infer.stage1 import denormalize_mel, normalize_mel
-    from diffbinaural_tpu.models import AudioVisualModel
-    from diffbinaural_tpu.train import make_stage1_train_step
 
-    print(f"building dataset ({n_clips} clips, {frames} frames, "
-          f"dim={dim})...")
-    mono, target, feat = make_stage1_dataset(n_clips, frames=frames)
     n_eval = 8
-    dev = jax.devices()[0]
-    data = jax.device_put({
-        "mono_mel": jnp.asarray(mono[n_eval:]),
-        "binaural_mel": jnp.asarray(target[n_eval:]),
-        "feat": jnp.asarray(feat[n_eval:]),
-    }, dev)
-    n_train = n_clips - n_eval
-
-    # production serving runs bf16 matmuls; match it at production dim so
-    # the solver comparison sees the score field the pipeline actually uses
-    unet = AudioVisualModel(
-        dim=dim, dtype=jnp.bfloat16 if dim >= 64 else jnp.float32
-    )
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = {
-            "unet": unet.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, 2, 80, frames)),
-                jnp.zeros((1,), jnp.int32),
-                (jnp.zeros((1, 1, 80, frames)), jnp.zeros((1, 512)),
-                 jnp.zeros((1, 2, 80, frames))),
-            )
-        }
-    params = jax.device_put(params, dev)
-    init_fn, step_fn = make_stage1_train_step(
-        unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
-        lr_unet=2e-4, donate=False,
-    )
-    state = init_fn(params)
-
-    chunk = 50
-    losses = [float("nan")] * steps
     t0 = time.time()
-    cache = os.environ.get("DPMCHECK_PARAMS", "")
-    if cache and os.path.exists(cache):
-        print(f"loading cached params from {cache}")
-        final_params = ckpt.load_checkpoint(cache, target=state.params)
-    else:
-        @jax.jit
-        def run_chunk(state, rng):
-            def body(st, i):
-                r = jax.random.fold_in(rng, i)
-                idx = jax.random.randint(r, (batch,), 0, n_train)
-                b = {k: v[idx] for k, v in data.items()}
-                st, m = step_fn(st, b, jax.random.fold_in(r, 1))
-                return st, m["loss"]
-
-            return jax.lax.scan(body, state, jnp.arange(chunk))
-
-        rng = jax.random.PRNGKey(7)
-        losses = []
-        for c in range(-(-steps // chunk)):
-            state, ls = run_chunk(state, jax.random.fold_in(rng, c))
-            losses.extend(np.asarray(ls).tolist())
-            print(f"step {min((c + 1) * chunk, steps):4d}  loss "
-                  f"{np.asarray(ls).mean():.4f}")
-        final_params = state.params
-        if cache:
-            ckpt.save_checkpoint(cache, final_params)
+    unet, final_params, losses, (mono, target, feat) = train_stage1_params(
+        dim, frames=frames, n_clips=n_clips, steps=steps, batch=batch,
+        cache=os.environ.get("DPMCHECK_PARAMS", ""), holdout=n_eval,
+    )
 
     diffusion = GaussianDiffusion(
         image_size=80, timesteps=1000, beta_schedule="cosine",
@@ -317,16 +341,31 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16,
     }
     tgt_raw = {}  # unrounded, for gate comparisons (rounding can flip a gate)
     melrmse_raw = {}
-    for name, n, fn in (
-        ("ddim25", 25, diffusion.ddim_sample),
-        ("ddim12", 12, diffusion.ddim_sample),
-        ("dpm8", 8, diffusion.dpm_sample),
-        ("dpm10", 10, diffusion.dpm_sample),
-        ("dpm12", 12, diffusion.dpm_sample),
-        ("dpm16", 16, diffusion.dpm_sample),
-        ("dpm25", 25, diffusion.dpm_sample),
+    for name, n, fn, kw in (
+        ("ddim25", 25, diffusion.ddim_sample, {}),
+        ("ddim12", 12, diffusion.ddim_sample, {}),
+        # SAME DDIM update rule, terminal-at-zero power grid (the few-step
+        # serving candidate after DPM-Solver++ failed the production-scale
+        # gate — 2M extrapolation lands at a systematically worse endpoint
+        # on the trained attention UNet's rough score field)
+        ("ddimp10", 10, diffusion.ddim_sample, {"time_grid": "power2.5"}),
+        ("ddimp12", 12, diffusion.ddim_sample, {"time_grid": "power2.5"}),
+        ("ddimp14", 14, diffusion.ddim_sample, {"time_grid": "power2.5"}),
+        ("ddimp16", 16, diffusion.ddim_sample, {"time_grid": "power2.5"}),
+        ("ddimp20", 20, diffusion.ddim_sample, {"time_grid": "power2.5"}),
+        ("dpm8", 8, diffusion.dpm_sample, {}),
+        ("dpm10", 10, diffusion.dpm_sample, {}),
+        ("dpm12", 12, diffusion.dpm_sample, {}),
+        ("dpm16", 16, diffusion.dpm_sample, {}),
+        ("dpm25", 25, diffusion.dpm_sample, {}),
+        # λ-uniform was the best DPM grid at production scale (r3 gridsweep:
+        # tgt 0.1429 @ NFE 12 vs power2.5's 0.2075) — test whether more
+        # steps close its remaining gap to ddim25
+        ("dpml12", 12, diffusion.dpm_sample, {"time_grid": "lambda"}),
+        ("dpml16", 16, diffusion.dpm_sample, {"time_grid": "lambda"}),
+        ("dpml20", 20, diffusion.dpm_sample, {"time_grid": "lambda"}),
     ):
-        x = sample(n, fn)
+        x = sample(n, fn, **kw)
         tgt_raw[name] = tgt(x)
         melrmse_raw[name] = melrmse(x)
         res[f"err_{name}"] = round(err(x), 5)
@@ -338,11 +377,12 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16,
     # These tgt_* gates are the ONLY serving-mode quality claim here; err_*
     # is a DDIM-grid diagnostic and is never compared across solvers (see
     # the yardstick comment above).
-    for n in (8, 10, 12):
-        res[f"dpm{n}_quality_parity"] = bool(
-            tgt_raw[f"dpm{n}"] <= 1.02 * tgt_raw["ddim25"])
-        res[f"dpm{n}_melrmse_parity"] = bool(
-            melrmse_raw[f"dpm{n}"] <= 1.02 * melrmse_raw["ddim25"])
+    for nm in ("dpm8", "dpm10", "dpm12", "dpml12", "dpml16", "dpml20",
+               "ddimp10", "ddimp12", "ddimp14", "ddimp16", "ddimp20"):
+        res[f"{nm}_quality_parity"] = bool(
+            tgt_raw[nm] <= 1.02 * tgt_raw["ddim25"])
+        res[f"{nm}_melrmse_parity"] = bool(
+            melrmse_raw[nm] <= 1.02 * melrmse_raw["ddim25"])
     if grids:
         # trained-net re-sweep of the DPM time grid (VERDICT r2 item 7):
         # same trained score field, same x_T, only the grid varies
@@ -352,6 +392,15 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16,
                 x = sample(n, diffusion.dpm_sample, time_grid=g)
                 res[f"grid_{g}_dpm{n}_tgt"] = round(tgt(x), 5)
                 print(f"  grid {g} dpm{n}: tgt={res[f'grid_{g}_dpm{n}_tgt']}")
+        # the same grid family under the DDIM update rule (the production
+        # serving candidate): which discretisation serves best at low NFE?
+        for g in ("power1.5", "power2", "power2.5", "power3",
+                  "lambda", "karras7"):
+            for n in (10, 12):
+                x = sample(n, diffusion.ddim_sample, time_grid=g)
+                res[f"grid_{g}_ddim{n}_tgt"] = round(tgt(x), 5)
+                print(f"  grid {g} ddim{n}: "
+                      f"tgt={res[f'grid_{g}_ddim{n}_tgt']}")
     res["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(res))
 
@@ -411,6 +460,11 @@ def run_stage2(steps=1000, batch=16, chunk=25):
             "mpd": mpd.init(rng, audio0, audio0),
             "mrd": mrd.init(rng, audio0, audio0),
         }
+    cache = os.environ.get("STAGE2_PARAMS", "")
+    if cache and os.path.exists(cache):
+        print(f"loading cached stage-2 generator params from {cache}")
+        return ckpt.load_checkpoint(cache, target=gen_params)
+
     gen_params = jax.device_put(gen_params, tpu)
     disc_params = jax.device_put(disc_params, tpu)
 

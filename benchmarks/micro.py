@@ -935,6 +935,114 @@ def bench_convt(reps=20):
               f" TF/s eff)   lhs-dilated {1e3 * dt_d / reps:7.3f} ms")
 
 
+def bench_visual(batch=16, t_frames=1, n_src=4, reps=5):
+    """Live visual-encoder path on TPU (VERDICT r2 missing #3 / item 4).
+
+    In the reference, frozen-CLIP ``encode_image`` per (B·T·N) frame is the
+    per-step compute heavyweight alongside the UNet (SURVEY §3.1;
+    /root/reference/DiffBinaural/modules/networks.py:389-439).  Times:
+
+      (a) the frozen CLIP ViT-B/32 image tower alone at the per-step frame
+          volume (B·T·N 224×224 crops);
+      (b) the full ClipPos2D encoder forward (FiLM + source attention +
+          temporal transformer on top of the tower);
+      (c) one jitted stage-1 train step with the encoder LIVE inside the
+          step (trainable 'frame' head, stop_gradient'd trunk) — compare
+          against train1's precomputed-feat step.
+
+    Geometry defaults to the reference's: num_frames=1
+    (DiffBinaural/utils/arguments.py:19), max_sources=4, 224×224 crops.
+    """
+    from diffbinaural_tpu.models import AudioVisualModel
+    from diffbinaural_tpu.models.visual import ClipPos2D, CLIPVisionTransformer
+    from diffbinaural_tpu.train import make_stage1_train_step
+
+    tpu = jax.devices()[0]
+    n_imgs = batch * t_frames * n_src
+    enc = ClipPos2D(dtype=jnp.bfloat16)
+    tower = CLIPVisionTransformer(dtype=jnp.bfloat16)
+    with jax.default_device(tpu):
+        f1 = jnp.zeros((1, 3, 1, 1, 224, 224))
+        p1 = jnp.zeros((1, 1, 1, 2))
+        m1 = jnp.zeros((1, 1, 1), bool)
+        eparams = jax.jit(enc.init)(jax.random.PRNGKey(0), f1, p1, m1)
+        tparams = jax.jit(tower.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 224, 224)))
+        rng = jax.random.PRNGKey(1)
+        frames = 0.5 * jax.random.normal(
+            rng, (batch, 3, t_frames, n_src, 224, 224), jnp.float32)
+        pos = jax.random.uniform(rng, (batch, t_frames, n_src, 2))
+        mask = jnp.zeros((batch, t_frames, n_src), bool)
+    flat = frames.transpose(0, 2, 3, 1, 4, 5).reshape(n_imgs, 3, 224, 224)
+
+    def scanned(apply_fn, *args):
+        # input perturbed per iteration: defeats CSE and tunnel memoization
+        @jax.jit
+        def loop(*a):
+            def body(acc, i):
+                out = apply_fn(a[0], a[1] * (1.0 + 1e-6 * i), *a[2:])
+                return acc + jnp.sum(out.astype(jnp.float32)) * 1e-9, ()
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+            return acc
+
+        return timed(loop, *args) / reps
+
+    dt = scanned(tower.apply, tparams, flat)
+    # ViT-B/32: ~8.73 GFLOP per 224×224 image (2·50 tok · 12 lyr · 12·768²)
+    print(f"clip tower  {n_imgs} frames: {1e3 * dt:.2f} ms "
+          f"({1e3 * dt / n_imgs:.3f} ms/frame, "
+          f"{8.73e9 * n_imgs / dt / 1e12:.1f} TF/s eff)")
+
+    dt = scanned(lambda p, f: enc.apply(p, f, pos, mask), eparams, frames)
+    print(f"clip_pos2d  B={batch} T={t_frames} N={n_src}: {1e3 * dt:.2f} ms "
+          f"({1e3 * dt / batch:.3f} ms/sample)")
+
+    # (c) live train step — reference trains 'frame' head + UNet jointly
+    unet = AudioVisualModel(dim=64, dtype=jnp.bfloat16)
+    with jax.default_device(tpu):
+        x1 = jnp.zeros((1, 2, 80, 80))
+        t1 = jnp.zeros((1,), jnp.int32)
+        c1 = (jnp.zeros((1, 1, 80, 80)), jnp.zeros((1, 512)),
+              jnp.zeros((1, 2, 80, 80)))
+        params = {
+            "unet": jax.jit(unet.init)(jax.random.PRNGKey(0), x1, t1, c1),
+            "frame": eparams,
+        }
+    init_fn, step_fn = make_stage1_train_step(
+        unet_apply=lambda p, x_, t_, c: unet.apply(p, x_, t_, c),
+        visual_apply=lambda p, f, po, ma: enc.apply(p, f, po, ma),
+        donate=False,
+    )
+    state = init_fn(params)
+    rng_np = np.random.default_rng(0)
+    batch_data = jax.device_put({
+        "mono_mel": jnp.asarray(
+            rng_np.standard_normal((batch, 1, 80, 80)), jnp.float32) - 6.0,
+        "binaural_mel": jnp.asarray(
+            rng_np.standard_normal((batch, 2, 80, 80)), jnp.float32) - 6.0,
+        "frames": frames, "pos": pos, "mask": mask,
+    }, tpu)
+
+    @jax.jit
+    def run(state, batch_data, rng):
+        def body(st, i):
+            st, m = step_fn(st, batch_data, jax.random.fold_in(rng, i))
+            return st, m["loss"]
+
+        st, losses = jax.lax.scan(body, state, jnp.arange(reps))
+        probe = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(st.params))
+        return losses.sum() + 0.0 * probe.astype(losses.dtype)
+
+    rng = jax.random.PRNGKey(0)
+    fetch(run(state, batch_data, rng))
+    t0 = time.time()
+    fetch(run(state, batch_data, jax.random.fold_in(rng, 999)))
+    dt = (time.time() - t0) / reps
+    print(f"stage1 train step LIVE visual B={batch}: {1e3 * dt:.1f} ms "
+          f"({batch / dt:.1f} samples/s)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("unet", "all"):
@@ -979,6 +1087,8 @@ if __name__ == "__main__":
         # all 21 windows of a 10 s clip in ONE batched DDIM scan.
         for b in (4, 8, 12, 16, 21, 24, 32):
             bench_unet(batch=b)
+    if which in ("visual",):
+        bench_visual()
     if which in ("actsin",):
         bench_act_sin()
     if which in ("actnarrow",):

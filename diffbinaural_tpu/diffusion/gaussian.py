@@ -264,11 +264,23 @@ class GaussianDiffusion:
         silence_mask_sampling: bool = False,
         threshold: float = 2e-3,
         sampling_timesteps: int | None = None,
+        time_grid: str = "uniform",
     ):
         """DDIM sampling loop as lax.scan (reference :311-371).
 
         condition = (mix, visual_feature) with mix (B,1,H,W); the state img
         and the noised-mix condition are both (B,2,H,W) and carried together.
+
+        ``time_grid="uniform"`` (default) is the reference's grid: uniform
+        in t with the last model evaluation at t ≈ T/steps, so the terminal
+        ``x ← x0̂`` projection jumps a whole step of noise — at few steps
+        that projection, not solver truncation, dominates the error.  Any
+        :meth:`_dpm_time_pairs` grid name (``"power2.5"``, ``"lambda"``,
+        ``"karras7"``…) instead places the final evaluation AT t=0 — the
+        SAME DDIM update rule on a better discretisation.  Validated on the
+        production-size trained net in benchmarks/convergence.py dpmcheck
+        (where the 2M multistep solver's extrapolation FAILED the quality
+        gate but terminal-at-zero DDIM grids pass at reduced step counts).
         """
         if sampling_timesteps is None:
             sampling_timesteps = self.sampling_timesteps
@@ -285,7 +297,11 @@ class GaussianDiffusion:
         img0 = jax.random.normal(rng_init, mix.shape, mix.dtype)
         mix_t0 = img0 + mix  # (:328)
 
-        time_pairs = jnp.asarray(self._ddim_time_pairs(sampling_timesteps))
+        if time_grid == "uniform":
+            pairs = self._ddim_time_pairs(sampling_timesteps)
+        else:
+            pairs = self._dpm_time_pairs(sampling_timesteps, time_grid)
+        time_pairs = jnp.asarray(pairs)
         step_keys = jax.random.split(rng_steps, time_pairs.shape[0])
 
         alphas_cumprod = jnp.asarray(s.alphas_cumprod)

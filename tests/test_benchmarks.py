@@ -79,6 +79,22 @@ def test_dpmcheck_tiny_end_to_end():
     assert np.isfinite(res["tgt_dpm12"])
 
 
+def test_quality_battery_tiny_end_to_end():
+    """Micro run of benchmarks/quality.py: train both tiny stages a few
+    steps, generate 2 held-out clips through the fused pipeline, score
+    with the full shipped metric battery vs the mono-copy baseline.
+    Gates are NOT asserted (2 clips / 4 steps is noise) — this pins the
+    harness mechanics: shapes, metric API, JSON schema."""
+    q = _import("quality")
+    res = q.run_quality(tiny=True, s1_steps=4, s2_steps=2, n_eval=2)
+    for k in ("model", "monocopy", "beats_monocopy_ild",
+              "beats_monocopy_melrmse", "s1_loss_last20"):
+        assert k in res, k
+    for k in ("ild_err_db", "mel_rmse", "env_dist", "iacc_diff", "pesq_mos"):
+        assert np.isfinite(res["model"][k]), k
+        assert np.isfinite(res["monocopy"][k]), k
+
+
 def test_micro_help_modes_run_as_subprocess():
     """`micro.py nosuchmode` must exit cleanly (no mode matched => no-op),
     proving the dispatch table parses end-to-end."""
