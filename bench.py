@@ -7,11 +7,11 @@ faithful to the production glue
 /root/reference/BigVGAN/inference_e2e.py:114-206):
 
   stage 1: diffusion sampling over all 21 80-frame mel windows of the clip
-           (batched through the UNet, bf16 matmuls).  Headline: 12-step
-           DPM-Solver++(2M) — same probability-flow ODE as the reference's
-           25-step DDIM, solved to at-least-DDIM-25 accuracy at half the
-           model evals (tests/test_dpm.py).  The reference-parity 25-step
-           DDIM pipeline is timed too (ddim25_* fields in the JSON).
+           (batched through the UNet, bf16 matmuls).  Headline: the
+           CERTIFIED sampler — reference-parity 25-step DDIM as of r4 (the
+           r3 DPM++12 headline failed the production-scale quality gate;
+           see VALIDATION.md).  The best uncertified fast mode is timed
+           too (fast_* fields in the JSON).
   stitch : denormalise → 8-frame edge crop → overlap-average scatter-add,
            ON DEVICE, consuming the stage-1 predictions
   stage 2: BigVGAN 256× vocoder on the stitched 2-channel full-clip mel
@@ -55,16 +55,21 @@ WINDOW = 80
 UNET_BATCH = 8
 BASELINE_CLIPS_PER_SEC = 0.42
 
-# Headline = DPM-Solver++(2M) at 12 steps: the SAME probability-flow ODE
-# the reference's 25-step DDIM integrates, solved to at-least-DDIM-25
-# accuracy in half the model evals (second-order multistep; pinned against
-# an analytic score model in tests/test_dpm.py).  The reference-parity
-# 25-step DDIM pipeline is ALSO timed and reported in the same JSON line
-# (ddim25_clips_per_sec / ddim25_vs_baseline) so the algorithmic and
-# raw-kernel speedups are never conflated.  BENCH_SAMPLER/BENCH_STEPS
-# override the headline config for ad-hoc runs.
-SAMPLER = os.environ.get("BENCH_SAMPLER", "dpm++")
-STEPS = int(os.environ.get("BENCH_STEPS", "12"))
+# Headline = the CERTIFIED sampler: the fastest (sampler, grid, NFE) that
+# passes the production-scale quality gate (tgt within 2% of DDIM-25 on the
+# trained dim=64 serving model — VALIDATION.md "Production-scale solver
+# certification").  As of r4 that is the reference-parity 25-step uniform
+# DDIM itself: the r3 DPM++12 headline FAILED the production gate (tgt
+# 0.208 vs 0.1305, +60%) — the toy-scale evidence did not transfer — so the
+# headline was demoted per the r3 review.  The best uncertified fast mode
+# (dpm++ λ-grid 12, +9.7% tgt) is still timed and reported as secondary
+# fast_* fields so the available speed/quality trade is visible.
+# BENCH_SAMPLER/BENCH_STEPS/BENCH_GRID override the headline for ad-hoc
+# runs.
+SAMPLER = os.environ.get("BENCH_SAMPLER", "ddim")
+STEPS = int(os.environ.get("BENCH_STEPS", "25"))
+TIME_GRID = os.environ.get("BENCH_GRID") or None
+FAST_SAMPLER, FAST_STEPS, FAST_GRID = "dpm++", 12, "lambda"
 PARITY_STEPS = 25  # the reference's production DDIM setting
 # BENCH_FUSE=0 → two-dispatch pipeline (stage1+stitch / vocoder), the
 # hedge if the single-graph remote compile is pathological on the tunnel.
@@ -149,9 +154,13 @@ def main():
                 jnp.zeros((1, 1, 1), bool),
             )
         enc_params = jax.device_put(enc_params, tpu)
-        feat_fn = jax.jit(lambda f, po, ma: enc.apply(enc_params, f, po, ma))
+        # enc_params is an explicit jit ARGUMENT: closing over the ~88M-param
+        # CLIP tree would embed it as compile-time constants (HLO bloat, a
+        # known remote-compile killer on the tunnel — ADVICE r3).
+        feat_fn = jax.jit(
+            lambda ep, f, po, ma: enc.apply(ep, f, po, ma))
 
-    def make_pipe(sampler, steps, fuse=None):
+    def make_pipe(sampler, steps, fuse=None, time_grid=None):
         base = BinauralPipeline(
             unet_apply=lambda p, x, t, c: unet.apply(p, x, t, c),
             voc_apply=lambda p, mel: voc.apply(p, mel),
@@ -159,6 +168,7 @@ def main():
             unet_batch=UNET_BATCH,
             sampling_timesteps=steps,
             sampler=sampler,
+            time_grid=time_grid,
             fuse_vocoder=FUSE if fuse is None else fuse,
         )
         if not VISUAL:
@@ -167,12 +177,12 @@ def main():
         # per-window frames → ClipPos2D features INSIDE the timed path;
         # the wav fetch still fences it (feat → stage-1 → stitch → wav)
         def with_visual(up, vp, mono, vis, key):
-            return base(up, vp, mono, feat_fn(*vis), key)
+            return base(up, vp, mono, feat_fn(enc_params, *vis), key)
 
         with_visual.n_slots = base.n_slots
         return with_visual
 
-    pipe = make_pipe(SAMPLER, STEPS)
+    pipe = make_pipe(SAMPLER, STEPS, time_grid=TIME_GRID)
 
     # distinct inputs per call — rules out any result caching in the stack
     rng_np = np.random.default_rng(0)
@@ -247,7 +257,7 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
-    HEADLINE_ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+    HEADLINE_ITERS = int(os.environ.get("BENCH_ITERS", "30"))
     fused_error = None
     if FUSE:
         # the single-graph compile has been observed to stall through the
@@ -273,47 +283,101 @@ def main():
         "pipeline": (
             f"mono_mel->windows->{SAMPLER}{STEPS}->stitch->vocoder->wav"
         ),
-        "dispatches_per_clip": 1 if fused_error is None and FUSE else 2,
+        "dispatches_per_clip": (1 if fused_error is None and FUSE else 2)
+        + (1 if VISUAL else 0),
         "queue_depth": 2,
         "n_iters": HEADLINE_ITERS,
         "per_clip_s_min": round(min(per_clip), 4),
+        "per_clip_s_p10": round(float(np.percentile(per_clip, 10)), 4),
         "per_clip_s_median": round(float(np.median(per_clip)), 4),
+        "per_clip_s_p90": round(float(np.percentile(per_clip, 90)), 4),
         "per_clip_s_max": round(max(per_clip), 4),
+        # fetch-to-fetch intervals under queue depth 2: when fetch i's RPC
+        # is tunnel-delayed (the max outliers), clip i+1 has already run to
+        # completion on-device, so the NEXT interval collapses to bare fetch
+        # latency (~25-45 ms) — min/max are paired tunnel-jitter artifacts;
+        # the mean (= value) and p10-p90 band carry the signal.
+        "per_clip_note": "min/max are paired tunnel-jitter artifacts",
         "visual_encoder_included": VISUAL,
     }
+    # ---- FLOPs / MFU accounting (VERDICT r3 item 5) ----------------------
+    # jax.stages.Lowered.cost_analysis() runs XLA's HLO cost analysis on
+    # the UNOPTIMIZED module on the host — no backend compile, so it is
+    # tunnel-safe.  The fused pipeline itself can NOT be lowered for this
+    # (HLO cost analysis counts a scan/while body ONCE, undercounting the
+    # N-step DDIM loop), so flops are assembled from scan-free component
+    # lowerings: per-denoise-step UNet forward × (groups × NFE) + vocoder
+    # on the full stitched clip.  MFU is reported against the v5e nominal
+    # bf16 peak (197 TFLOP/s); CLAUDE.md's measured big-matmul ceiling
+    # through this tunnel is ~160 TFLOP/s (mfu_vs_measured_peak).
+    V5E_PEAK_FLOPS = 197e12
+    MEASURED_MATMUL_PEAK = 160e12
+
+    def _flops(fn, *args):
+        cost = jax.jit(fn).lower(*args).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+
+    try:
+        b = UNET_BATCH
+        xw = jnp.zeros((b, 2, WINDOW, WINDOW))
+        condw = (jnp.zeros((b, 1, WINDOW, WINDOW)), jnp.zeros((b, 512)),
+                 jnp.zeros((b, 2, WINDOW, WINDOW)))
+        unet_flops = _flops(
+            lambda p, x, t, c: unet.apply(p, x, t, c),
+            unet_params, xw, jnp.zeros((b,), jnp.int32), condw)
+        voc_flops = _flops(
+            lambda p, m: voc.apply(p, m),
+            voc_params, jnp.zeros((2, 80, total_frames)))
+        n_groups = -(-21 // UNET_BATCH)  # 21 windows of a 10 s clip
+        flops = unet_flops * n_groups * STEPS + voc_flops
+        med = float(np.median(per_clip))
+        record["flops_per_clip_tflop"] = round(flops / 1e12, 3)
+        record["flops_split_tflop"] = {
+            "unet_total": round(unet_flops * n_groups * STEPS / 1e12, 3),
+            "vocoder": round(voc_flops / 1e12, 3),
+        }
+        record["achieved_tflops"] = round(flops / med / 1e12, 2)
+        record["mfu"] = round(flops / med / V5E_PEAK_FLOPS, 4)
+        record["mfu_vs_measured_peak"] = round(
+            flops / med / MEASURED_MATMUL_PEAK, 4)
+    except Exception as e:  # noqa: BLE001 — accounting must never kill bench
+        record["mfu_error"] = f"{type(e).__name__}: {e}"[:120]
     if VISUAL:
         record["visual_frames_per_clip"] = pipe.n_slots * N_SOURCES
     if fused_error is not None:
         record["fused_fallback"] = fused_error
-    if (SAMPLER, STEPS) != ("ddim", PARITY_STEPS):
-        # reference-parity pipeline, same glue — solver is the only change.
+    record["sampler_quality_evidence"] = (
+        "VALIDATION.md: production-scale solver certification "
+        "(benchmarks/results/solver_eval.log)"
+    )
+
+    def secondary(prefix, sampler, steps, time_grid, n=5):
         # A failure here (e.g. a second remote compile dying mid-run) must
         # not lose the already-measured headline.
         try:
-            import signal
-
-            def _alarm(signum, frame):
-                raise TimeoutError("ddim25 parity run exceeded 900 s")
-
-            old = signal.signal(signal.SIGALRM, _alarm)
-            signal.alarm(900)  # a parity-compile hang must not eat the
-            try:               # already-measured headline
-                parity, parity_clips = timed_clips_per_sec(
-                    make_pipe("ddim", PARITY_STEPS), 5
-                )
-            finally:
-                signal.alarm(0)
-                signal.signal(signal.SIGALRM, old)
-            record["ddim25_clips_per_sec"] = round(parity, 4)
-            record["ddim25_vs_baseline"] = round(
-                parity / BASELINE_CLIPS_PER_SEC, 3
+            sec, sec_clips = _with_deadline(
+                900,
+                lambda: timed_clips_per_sec(
+                    make_pipe(sampler, steps, time_grid=time_grid), n),
             )
-            record["ddim25_per_clip_s_median"] = round(
-                float(np.median(parity_clips)), 4
-            )
+            record[f"{prefix}_clips_per_sec"] = round(sec, 4)
+            record[f"{prefix}_vs_baseline"] = round(
+                sec / BASELINE_CLIPS_PER_SEC, 3)
+            record[f"{prefix}_per_clip_s_median"] = round(
+                float(np.median(sec_clips)), 4)
         except Exception as e:  # noqa: BLE001
-            record["ddim25_error"] = f"{type(e).__name__}: {e}"[:200]
-        record["sampler_quality_evidence"] = "tests/test_dpm.py"
+            record[f"{prefix}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if (SAMPLER, STEPS, TIME_GRID) != ("ddim", PARITY_STEPS, None):
+        # reference-parity pipeline, same glue — solver is the only change
+        secondary("ddim25", "ddim", PARITY_STEPS, None)
+    else:
+        # best UNCERTIFIED fast mode (quality gap recorded in
+        # VALIDATION.md: +9.7% tgt) — speed/quality trade, not the headline
+        secondary("fast_uncertified_dpml12",
+                  FAST_SAMPLER, FAST_STEPS, FAST_GRID)
     print(json.dumps(record))
 
 

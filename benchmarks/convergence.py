@@ -222,10 +222,10 @@ def train_stage1_params(dim, frames=80, n_clips=256, steps=1500, batch=16,
         final = ckpt.load_checkpoint(cache, target=state.params)
         return unet, final, losses, (mono, target, feat)
 
-    chunk = 50
+    chunk = min(50, steps)
 
     @jax.jit
-    def run_chunk(state, rng):
+    def run_chunk(state, rng, idxs):
         def body(st, i):
             r = jax.random.fold_in(rng, i)
             idx = jax.random.randint(r, (batch,), 0, n_train)
@@ -233,15 +233,21 @@ def train_stage1_params(dim, frames=80, n_clips=256, steps=1500, batch=16,
             st, m = step_fn(st, b, jax.random.fold_in(r, 1))
             return st, m["loss"]
 
-        return jax.lax.scan(body, state, jnp.arange(chunk))
+        return jax.lax.scan(body, state, idxs)
 
     rng = jax.random.PRNGKey(7)
     losses = []
-    for c in range(-(-steps // chunk)):
-        state, ls = run_chunk(state, jax.random.fold_in(rng, c))
+    done = 0
+    while done < steps:
+        # last chunk may be short: jit caches at most two scan lengths
+        # (ADVICE r3: steps=4 used to silently run 50 optimizer steps)
+        n = min(chunk, steps - done)
+        state, ls = run_chunk(
+            state, jax.random.fold_in(rng, done), jnp.arange(done, done + n))
         losses.extend(np.asarray(ls).tolist())
-        print(f"step {min((c + 1) * chunk, steps):4d}  loss "
-              f"{np.asarray(ls).mean():.4f}")
+        done += n
+        print(f"step {done:4d}  loss {np.asarray(ls).mean():.4f}")
+    losses = losses[:steps]
     if cache:
         ckpt.save_checkpoint(cache, state.params)
         print(f"saved trained stage-1 params to {cache}")
@@ -344,6 +350,20 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16,
     for name, n, fn, kw in (
         ("ddim25", 25, diffusion.ddim_sample, {}),
         ("ddim12", 12, diffusion.ddim_sample, {}),
+        # uniform-grid DDIM at intermediate NFE: the r4 certification
+        # candidates after every fancy solver/grid LOST to uniform DDIM at
+        # production scale (benchmarks/results/solver_eval.log) — the open
+        # question is simply how few uniform steps still pass the 2% gate
+        ("ddim16", 16, diffusion.ddim_sample, {}),
+        ("ddim20", 20, diffusion.ddim_sample, {}),
+        ("ddim22", 22, diffusion.ddim_sample, {}),
+        # λ-uniform under the DDIM update rule (λ was the best DPM grid by
+        # far at production scale; never yet tried with DDIM updates)
+        ("ddiml12", 12, diffusion.ddim_sample, {"time_grid": "lambda"}),
+        ("ddiml16", 16, diffusion.ddim_sample, {"time_grid": "lambda"}),
+        ("ddiml20", 20, diffusion.ddim_sample, {"time_grid": "lambda"}),
+        ("ddimk16", 16, diffusion.ddim_sample, {"time_grid": "karras7"}),
+        ("ddimk20", 20, diffusion.ddim_sample, {"time_grid": "karras7"}),
         # SAME DDIM update rule, terminal-at-zero power grid (the few-step
         # serving candidate after DPM-Solver++ failed the production-scale
         # gate — 2M extrapolation lands at a systematically worse endpoint
@@ -378,7 +398,9 @@ def run_dpmcheck(steps=600, batch=8, frames=16, n_clips=64, dim=16,
     # is a DDIM-grid diagnostic and is never compared across solvers (see
     # the yardstick comment above).
     for nm in ("dpm8", "dpm10", "dpm12", "dpml12", "dpml16", "dpml20",
-               "ddimp10", "ddimp12", "ddimp14", "ddimp16", "ddimp20"):
+               "ddimp10", "ddimp12", "ddimp14", "ddimp16", "ddimp20",
+               "ddim12", "ddim16", "ddim20", "ddim22",
+               "ddiml12", "ddiml16", "ddiml20", "ddimk16", "ddimk20"):
         res[f"{nm}_quality_parity"] = bool(
             tgt_raw[nm] <= 1.02 * tgt_raw["ddim25"])
         res[f"{nm}_melrmse_parity"] = bool(

@@ -33,6 +33,31 @@ def timed(fn, *args, iters=3):
     return (time.time() - t0) / iters
 
 
+V5E_PEAK_FLOPS = 197e12  # nominal bf16; measured matmul ceiling ≈160e12
+
+
+def hlo_flops(fn, *args):
+    """FLOPs of fn via XLA's HLO cost analysis on the UNOPTIMIZED module
+    (host-side; no backend compile).  CAVEAT: scan/while bodies are counted
+    ONCE — only pass scan-free programs (e.g. a single train step, not the
+    reps-scanned wrapper).  Returns 0.0 on failure."""
+    try:
+        cost = jax.jit(fn).lower(*args).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
+def mfu_str(flops, dt):
+    if flops <= 0:
+        return ""
+    return (f"  [{flops / 1e12:.2f} TFLOP, "
+            f"{flops / dt / 1e12:.1f} TFLOP/s achieved, "
+            f"MFU {flops / dt / V5E_PEAK_FLOPS * 100:.1f}%]")
+
+
 def bench_unet(batch=8, reps=10):
     """One denoise step (production UNet), amortised over `reps` scanned
     calls inside a single jit."""
@@ -506,8 +531,10 @@ def bench_train1(batch=16, reps=5):
     t0 = time.time()
     fetch(run(state, batch_data, jax.random.fold_in(rng, 999)))
     dt = (time.time() - t0) / reps
+    # per-step FLOPs from the scan-free single step (hlo_flops caveat)
+    flops = hlo_flops(step_fn, state, batch_data, rng)
     print(f"stage1 train step B={batch}: {1e3 * dt:.1f} ms "
-          f"({batch / dt:.1f} samples/s)")
+          f"({batch / dt:.1f} samples/s)" + mfu_str(flops, dt))
 
 
 def bench_train2(batch=16, reps=5):
@@ -605,8 +632,9 @@ def bench_train2(batch=16, reps=5):
     t0 = time.time()
     fetch(run(state, batch_data))
     dt = (time.time() - t0) / reps
+    flops = hlo_flops(step_fn, state, batch_data)
     print(f"stage2 GAN step B={batch}: {1e3 * dt:.0f} ms "
-          f"({batch / dt:.1f} samples/s)")
+          f"({batch / dt:.1f} samples/s)" + mfu_str(flops, dt))
 
 
 def bench_voc_stages(reps=10):

@@ -186,9 +186,13 @@ def run_quality(tiny=False, s1_steps=None, s2_steps=None, n_eval=6,
     t0 = time.time()
     s1_cache = os.environ.get(
         "QUALITY_S1_PARAMS", os.environ.get("DPMCHECK_PARAMS", ""))
+    # holdout=8 matches dpmcheck's training split exactly, so the cached
+    # params file is interchangeable between the two harnesses WITHOUT
+    # contaminating dpmcheck's held-out clips 0-7 (ADVICE r3 medium #1).
+    # quality's own eval clips come from a disjoint seed (12345) either way.
     unet, s1_params, s1_losses, _ = conv.train_stage1_params(
         dim, frames=window, n_clips=64 if tiny else 256, steps=s1_steps,
-        batch=4 if tiny else 16, cache=s1_cache,
+        batch=4 if tiny else 16, cache=s1_cache, holdout=8,
     )
     if tiny:
         gen, gen_params = _train_tiny_vocoder(s2_steps)
@@ -242,7 +246,11 @@ def run_quality(tiny=False, s1_steps=None, s2_steps=None, n_eval=6,
         "sampler": f"{sampler}{sampling_timesteps}",
         "s1_steps": s1_steps, "s2_steps": s2_steps, "n_eval": n_eval,
         "total_frames": total_frames,
-        "s1_loss_last20": round(float(np.mean(s1_losses[-20:])), 4),
+        # None (-> JSON null) when params came from cache: losses are NaN
+        # placeholders then, and bare NaN is not strict JSON (ADVICE r3)
+        "s1_loss_last20": (
+            None if np.isnan(s1_losses[-20:]).any()
+            else round(float(np.mean(s1_losses[-20:])), 4)),
         "model": model_m, "monocopy": base_m,
         # gates: the trained stack must beat no-spatialisation on the cues
         # a mel-domain pipeline can carry (see module docstring for why

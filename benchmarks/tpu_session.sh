@@ -1,25 +1,21 @@
 #!/bin/bash
-# TPU measurement runbook — run top-to-bottom when the tunnel is up.
+# TPU measurement runbook (r4) — run top-to-bottom when the tunnel is up.
 # Each step logs to /tmp/tpu_logs/; review between steps before changing
 # kernel defaults.  Do NOT run pytest concurrently (host contention has
 # corrupted e2e numbers by 4.5x — see CLAUDE.md).
 #
 # DECISION GATES (review the logs, then edit defaults + commit):
-# - actsin: if 'none' ≪ 'exact' and 'fast' ≈ 'none' → flip the
-#   ops/alias_free_act._SIN_IMPL default to "fast" (and delete the env
-#   knob or keep as escape hatch); if 'none' ≈ 'exact', sin is free and
-#   further act work must target the shift/FMA lattice instead.
-# - convnarrow: if im2col ≥ ~1.5× faster at C ≤ 96 → flip
-#   models/bigvgan.NARROW_CONV_LOWERING to "im2col".
-# - snakeconv: fused wins → keep _snake_conv_fusable gate as is; loses →
-#   set use_fused=False wiring in AMPBlocks (one-line revert).
-# - flashcheck MUST pass before adopting any flashsweep-suggested
-#   (bq, chunks) change in ops/flash_d32.py.
-# - unetbatch: if one 21-24-window group scales ~linearly, set
-#   UNET_BATCH=21 n_batches=1 in bench.py/pipeline defaults.
-# - bench: record BOTH the dpm++12 headline and ddim25 parity numbers in
-#   BASELINE.md + CLAUDE.md; if the fused single-graph compile stalls
-#   >15 min, rerun with BENCH_FUSE=0.
+# - solver: pick the FASTEST candidate passing BOTH 2% gates
+#   (tgt + melrmse vs ddim25) from solver_eval_r4.log; set bench.py
+#   SAMPLER/STEPS/TIME_GRID to it and record the JSON in VALIDATION.md.
+#   If nothing below 25 passes, the headline stays ddim25.
+# - vocoder: act v4 (padless) + fast-sin are in; if micro.py vocoder
+#   ≤ 180 ms the r3-review target is met — record in BASELINE.md.
+# - flashcheck MUST pass before keeping DIFFBINAURAL_FLASH_EXP2=1
+#   (the new base-2 inference softmax) or any flashsweep change.
+# - quality: all four beats_monocopy_* gates must be true; paste the
+#   JSON into VALIDATION.md.
+# - train1/train2 now print TFLOP + MFU — record them in BASELINE.md.
 set -u
 mkdir -p /tmp/tpu_logs
 cd /root/repo
@@ -38,31 +34,37 @@ run() {  # run <tag> <timeout_s> <cmd...> — returns the COMMAND's status
 # cycles can keep the tunnel "down" indefinitely.  One patient probe instead.
 run probe 600 python -u -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((128,128)))))" || exit 1
 
-# 1. act kernel v4 (padless tiles) + fused snake-conv: Mosaic compile +
-#    numbers on production vocoder stages
-run snakeconv 1200 python -u benchmarks/micro.py snakeconv
-run convt 1200 python -u benchmarks/micro.py convt
-run convnarrow 1200 python -u benchmarks/micro.py convnarrow
-run act 1200 python -u benchmarks/micro.py act
-run actsin 1800 python -u benchmarks/micro.py actsin
+# 1. SOLVER CERTIFICATION (r3-review item 2, decides the headline): the
+#    dim=64 trained params are cached from the r3 run — eval-only, ~20 min.
+#    If the cache is missing this retrains (~28 min extra).
+DPMCHECK_PARAMS=/tmp/dpmcheck_prod_d64.msgpack \
+  run solver_eval_r4 5400 python -u benchmarks/convergence.py dpmcheck 1500 16 64 80 256
 
-# 2. vocoder end-to-end (act v4 + snake_conv fusion in place)
+# 2. vocoder: act v4 + fast sin end-to-end, then per-stage attribution
 run vocoder 1200 python -u benchmarks/micro.py vocoder
+run act 1200 python -u benchmarks/micro.py act
 
-# 3. flash d=32: correctness (ones-column fwd + stock bwd), then geometry
+# 3. flash d=32: correctness incl. the exp2 primal, then the step
 run flashcheck 900 python -u benchmarks/micro.py flashcheck
-run flashsweep 1800 python -u benchmarks/micro.py flashsweep
-
-# 4. UNet step + batch sweep (the 3x8-vs-24 anomaly)
+run attn 900 python -u benchmarks/micro.py attn
 run unet 900 python -u benchmarks/micro.py unet
-run unetbatch 2400 python -u benchmarks/micro.py unetbatch
 
-# 5. training steps (scan-amortised, all leaves touched)
+# 4. training steps with the new FLOP/MFU accounting
 run train1 1800 python -u benchmarks/micro.py train1
 run train2 1800 python -u benchmarks/micro.py train2
 
-# 6. the headline number (single-graph compile time is the open risk;
-#    if compile stalls >15 min, retry with the two-dispatch pipeline)
-run bench 2400 python -u bench.py
+# 5. QUALITY BATTERY at production size (r3-review item 3): stage-1 from
+#    the cached params, stage-2 trained 2000 steps (~20 min), 6 held-out
+#    clips scored vs mono-copy.
+DPMCHECK_PARAMS=/tmp/dpmcheck_prod_d64.msgpack \
+STAGE2_PARAMS=/tmp/stage2_prod.msgpack \
+  run quality_prod 7200 python -u benchmarks/quality.py prod
+
+# 6. live visual-conditioning cost (r3-review item 7), small n
+BENCH_VISUAL=1 BENCH_ITERS=5 run bench_visual 2400 python -u bench.py
+
+# 7. the headline (BENCH_ITERS=30 default; set BENCH_SAMPLER/STEPS/GRID
+#    first if step 1 certified a faster mode)
+run bench 3600 python -u bench.py
 
 echo "ALL DONE $(date -u +%H:%M:%SZ) — logs in /tmp/tpu_logs/"

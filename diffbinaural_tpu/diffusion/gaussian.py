@@ -277,10 +277,11 @@ class GaussianDiffusion:
         that projection, not solver truncation, dominates the error.  Any
         :meth:`_dpm_time_pairs` grid name (``"power2.5"``, ``"lambda"``,
         ``"karras7"``…) instead places the final evaluation AT t=0 — the
-        SAME DDIM update rule on a better discretisation.  Validated on the
-        production-size trained net in benchmarks/convergence.py dpmcheck
-        (where the 2M multistep solver's extrapolation FAILED the quality
-        gate but terminal-at-zero DDIM grids pass at reduced step counts).
+        SAME DDIM update rule on a different discretisation.  Measured on
+        the production-size trained net (VALIDATION.md solver
+        certification): the 2M multistep solver's extrapolation AND every
+        non-uniform grid tried so far LOSE to the uniform reference grid
+        at equal NFE — serve only combinations certified there.
         """
         if sampling_timesteps is None:
             sampling_timesteps = self.sampling_timesteps

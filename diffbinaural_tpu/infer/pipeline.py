@@ -62,6 +62,7 @@ class BinauralPipeline:
         unet_batch: int = 8,
         sampling_timesteps: int = 25,
         sampler: str = "ddim",
+        time_grid: Optional[str] = None,
         diffusion: Optional[GaussianDiffusion] = None,
         fuse_vocoder: bool = True,
         mesh: Optional[Mesh] = None,
@@ -73,12 +74,17 @@ class BinauralPipeline:
         ``parallel.shard_vocoder_params`` to channel-shard stage 2 over
         'model' as well.  unet_batch is ignored under a mesh.
 
-        ``sampler``: 'ddim' (reference parity) or 'dpm++'
-        (DPM-Solver++(2M), matched quality at ~half the steps — pair with
-        ``sampling_timesteps≈12``; accuracy pinned by tests/test_dpm.py)."""
+        ``sampler``: 'ddim' (reference parity) or 'dpm++' (DPM-Solver++(2M)).
+        ``time_grid`` selects the step discretisation ('uniform', 'powerP',
+        'lambda', 'karrasR' — see GaussianDiffusion._dpm_time_pairs); None
+        keeps each sampler's default (ddim: uniform = reference parity;
+        dpm++: power2.5).  Production-scale solver accuracy for all
+        (sampler, grid, N) combinations is recorded in VALIDATION.md —
+        serve only certified combinations."""
         if sampler not in ("ddim", "dpm++"):
             raise ValueError(f"unknown sampler {sampler!r}")
         self.sampler = sampler
+        self.time_grid = time_grid
         self.unet_apply = unet_apply
         self.voc_apply = voc_apply
         self.total_frames = total_frames
@@ -189,6 +195,10 @@ class BinauralPipeline:
             if self.sampler == "dpm++"
             else self.diffusion.ddim_sample
         )
+        if self.time_grid is not None:
+            import functools
+
+            sample = functools.partial(sample, time_grid=self.time_grid)
 
         def body(_, inp):
             w, f, k = inp

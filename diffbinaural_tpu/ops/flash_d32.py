@@ -30,9 +30,11 @@ custom-vjp core, so both directions run with sm_scale = 1.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas.ops.tpu.flash_attention import (
     DEFAULT_MASK_VALUE,
@@ -43,13 +45,23 @@ from jax.experimental.pallas.ops.tpu.flash_attention import (
 
 LANE = 128
 
+# Inference-path softmax base: with LOG2_E folded into the q scale the
+# kernel's transcendental becomes exp2 — mathematically the SAME softmax
+# (softmax_e(s) == 2^(s·log2e − m2)/Σ…), one VPU multiply cheaper per
+# element wherever the hardware lowers exp(x) as exp2(x·log2e).  Applied
+# ONLY to the residual-free primal: the training forward must emit (l, m)
+# in the stock flash kernels' e-base convention, and the stock backward
+# recomputes scores from the q it was given.
+_EXP2 = os.environ.get("DIFFBINAURAL_FLASH_EXP2", "1") != "0"
+_LOG2_E = float(np.log2(np.e))
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
-                *, n_valid, n_pad, chunks):
+                *, n_valid, n_pad, chunks, exp2=False):
     """l_ref/m_ref are None for the inference variant — softmax residuals
     are only materialised when the VJP needs them (they are ~100 MB of HBM
     writes per UNet-sized call).  In that variant the wrapper appends a
@@ -59,6 +71,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
     q = q_ref[0, 0]  # (bq, d)
     d = q.shape[-1]
     fold_l = l_ref is None and v_ref.shape[-1] == d + 1
+    expfn = jnp.exp2 if exp2 else jnp.exp
     cw = n_pad // chunks
     outs, maxes, sums = [], [], []
     for ci in range(chunks):
@@ -70,7 +83,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1) + ci * cw
             s = s + jnp.where(col < n_valid, 0.0, DEFAULT_MASK_VALUE)
         m_c = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m_c)
+        p = expfn(s - m_c)
         if not fold_l:
             sums.append(jnp.sum(p, axis=1, keepdims=True))
         v_c = v_ref[0, 0, ci * cw:(ci + 1) * cw, :]
@@ -85,7 +98,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
         l_all = o[:, d:] if fold_l else sums[0]
     else:
         m_all = functools.reduce(jnp.maximum, maxes)
-        scales = [jnp.exp(m_c - m_all) for m_c in maxes]
+        scales = [expfn(m_c - m_all) for m_c in maxes]
         o = sum(o_c * s_ for o_c, s_ in zip(outs, scales))
         if fold_l:
             l_all = o[:, d:]
@@ -101,7 +114,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_ref,
 
 
 def _fwd(q, k, v, bq: int | None = None, chunks: int | None = None,
-         save_residuals: bool = True):
+         save_residuals: bool = True, exp2: bool = False):
     """(B, H, N, D) × 3 → (o, l, m) [or just o]; l/m in the stock-flash
     residual convention, shape (B, H, N)."""
     b, h, n, d = q.shape
@@ -134,7 +147,7 @@ def _fwd(q, k, v, bq: int | None = None, chunks: int | None = None,
     )
     grid = (b, h, n_pad // bq)
     body = functools.partial(_fwd_kernel, n_valid=n, n_pad=n_pad,
-                             chunks=chunks)
+                             chunks=chunks, exp2=exp2 and not save_residuals)
     if not save_residuals:
         # ones-column v: the rowsum l rides the PV matmul (see _fwd_kernel)
         v_aug = jnp.concatenate(
@@ -172,8 +185,14 @@ def _fwd(q, k, v, bq: int | None = None, chunks: int | None = None,
 def _attn_core(q, k, v):
     """softmax(q·kᵀ)·v on (B, H, N, D); q is PRE-SCALED by the caller.
 
-    The primal (inference) path skips the l/m residual writes entirely."""
-    o, _, _ = _fwd(q, k, v, save_residuals=False)
+    The primal (inference) path skips the l/m residual writes entirely;
+    with _EXP2 it additionally folds log2(e) into q and runs the softmax
+    in base 2 — the identical function, cheaper transcendental."""
+    if _EXP2:
+        o, _, _ = _fwd(q * jnp.asarray(_LOG2_E, q.dtype), k, v,
+                       save_residuals=False, exp2=True)
+    else:
+        o, _, _ = _fwd(q, k, v, save_residuals=False)
     return o
 
 

@@ -17,3 +17,26 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# `slow` marker (VERDICT r3 weak #6): heavy tests (the ~10-min integration
+# pipeline, the graft subprocess re-exec, the full-geometry dryrun) are
+# skipped by default so the routine run stays <10 min.  Run everything with
+# RUN_SLOW=1 python -m pytest tests/ -q        (documented in CLAUDE.md)
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy test, skipped unless RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow test — set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

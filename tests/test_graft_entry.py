@@ -6,7 +6,10 @@ the (version-mismatched) TPU and the check was recorded FAILED even though
 the sharded logic passes on a CPU mesh. These tests pin both recovery paths.
 """
 
+import os
+
 import jax
+import pytest
 
 import __graft_entry__ as graft
 
@@ -16,8 +19,24 @@ def test_dryrun_inprocess_cpu(capsys):
     graft.dryrun_multichip(4)
     out = capsys.readouterr().out
     assert "dryrun_multichip(4) PASSED" in out
+    # driver path must NOT include the ~18-min production-geometry compile
+    assert "production-geometry step skipped" in out
 
 
+@pytest.mark.slow
+def test_dryrun_full_geometry(monkeypatch, capsys):
+    """GRAFT_FULL_DRYRUN=1 runs the dim=64 bf16 production-geometry step.
+
+    ~18 min of XLA CPU compile (VERDICT r3) — slow-marked; this is the
+    full-size sharding proof for SURVEY §2.6 DDP equivalence."""
+    monkeypatch.setenv("GRAFT_FULL_DRYRUN", "1")
+    graft.dryrun_multichip(8)
+    out = capsys.readouterr().out
+    assert "stage1 production-geometry step ok" in out
+    assert "dryrun_multichip(8) PASSED" in out
+
+
+@pytest.mark.slow
 def test_dryrun_subprocess_fallback_when_backend_is_tpu(monkeypatch, capsys):
     """With a non-CPU backend already initialised, re-execs cleanly.
 

@@ -48,6 +48,7 @@ def tiny_world(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_full_pipeline(tiny_world, tmp_path):
     # ---------------- stage 1: a few diffusion train steps ----------------
     from diffbinaural_tpu.data import DataLoader, RealBinauralDataset
