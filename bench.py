@@ -8,10 +8,12 @@ faithful to the production glue
 
   stage 1: diffusion sampling over all 21 80-frame mel windows of the clip
            (batched through the UNet, bf16 matmuls).  Headline: the
-           CERTIFIED sampler — reference-parity 25-step DDIM as of r4 (the
-           r3 DPM++12 headline failed the production-scale quality gate;
-           see VALIDATION.md).  The best uncertified fast mode is timed
-           too (fast_* fields in the JSON).
+           CERTIFIED sampler — as of r4 the DDIM update rule on a
+           λ-uniform terminal-at-zero grid at 12 steps, measured BETTER
+           than the reference's uniform 25-step grid on the trained
+           production model across 3 noise draws (VALIDATION.md
+           "Production-scale solver certification").  The reference-parity
+           25-step pipeline is timed too (ddim25_* fields).
   stitch : denormalise → 8-frame edge crop → overlap-average scatter-add,
            ON DEVICE, consuming the stage-1 predictions
   stage 2: BigVGAN 256× vocoder on the stitched 2-channel full-clip mel
@@ -56,20 +58,26 @@ UNET_BATCH = 8
 BASELINE_CLIPS_PER_SEC = 0.42
 
 # Headline = the CERTIFIED sampler: the fastest (sampler, grid, NFE) that
-# passes the production-scale quality gate (tgt within 2% of DDIM-25 on the
-# trained dim=64 serving model — VALIDATION.md "Production-scale solver
-# certification").  As of r4 that is the reference-parity 25-step uniform
-# DDIM itself: the r3 DPM++12 headline FAILED the production gate (tgt
-# 0.208 vs 0.1305, +60%) — the toy-scale evidence did not transfer — so the
-# headline was demoted per the r3 review.  The best uncertified fast mode
-# (dpm++ λ-grid 12, +9.7% tgt) is still timed and reported as secondary
-# fast_* fields so the available speed/quality trade is visible.
-# BENCH_SAMPLER/BENCH_STEPS/BENCH_GRID override the headline for ad-hoc
-# runs.
+# passes the production-scale quality gates (tgt + melrmse within 2% of
+# DDIM-25 on the trained dim=64 serving model — VALIDATION.md
+# "Production-scale solver certification").  As of r4 that is the SAME
+# DDIM update rule on a λ-uniform terminal-at-zero grid at 12 steps
+# ("ddiml12"): measured on the trained production model it beats the
+# reference's uniform 25-step grid on ALL THREE yardsticks (endpoint
+# error 0.073 vs 0.192, target L1 0.121 vs 0.131, mel-RMSE 1.113 vs
+# 1.237) and holds across 3 independent noise draws
+# (benchmarks/results/solver_robust_r4.log).  The r3 DPM++12 headline is
+# gone: it FAILED these gates (+60% target error — the toy-scale evidence
+# did not transfer).  The reference-parity 25-step pipeline is still
+# timed as ddim25_* in the same JSON.  BENCH_SAMPLER/BENCH_STEPS/
+# BENCH_GRID override for ad-hoc runs.
 SAMPLER = os.environ.get("BENCH_SAMPLER", "ddim")
-STEPS = int(os.environ.get("BENCH_STEPS", "25"))
-TIME_GRID = os.environ.get("BENCH_GRID") or None
-FAST_SAMPLER, FAST_STEPS, FAST_GRID = "dpm++", 12, "lambda"
+STEPS = int(os.environ.get("BENCH_STEPS", "12"))
+# BENCH_GRID="" explicitly selects the uniform grid; unset → certified λ
+TIME_GRID = (
+    (os.environ["BENCH_GRID"] or None)
+    if "BENCH_GRID" in os.environ else "lambda"
+)
 PARITY_STEPS = 25  # the reference's production DDIM setting
 # BENCH_FUSE=0 → two-dispatch pipeline (stage1+stitch / vocoder), the
 # hedge if the single-graph remote compile is pathological on the tunnel.
@@ -349,8 +357,8 @@ def main():
     if fused_error is not None:
         record["fused_fallback"] = fused_error
     record["sampler_quality_evidence"] = (
-        "VALIDATION.md: production-scale solver certification "
-        "(benchmarks/results/solver_eval.log)"
+        "VALIDATION.md production-scale solver certification "
+        "(benchmarks/results/solver_eval_r4.log + solver_robust_r4.log)"
     )
 
     def secondary(prefix, sampler, steps, time_grid, n=5):
@@ -373,11 +381,6 @@ def main():
     if (SAMPLER, STEPS, TIME_GRID) != ("ddim", PARITY_STEPS, None):
         # reference-parity pipeline, same glue — solver is the only change
         secondary("ddim25", "ddim", PARITY_STEPS, None)
-    else:
-        # best UNCERTIFIED fast mode (quality gap recorded in
-        # VALIDATION.md: +9.7% tgt) — speed/quality trade, not the headline
-        secondary("fast_uncertified_dpml12",
-                  FAST_SAMPLER, FAST_STEPS, FAST_GRID)
     print(json.dumps(record))
 
 

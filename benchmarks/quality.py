@@ -169,7 +169,7 @@ def _score(pred, gt, sr=SR, with_bss=True):
 
 
 def run_quality(tiny=False, s1_steps=None, s2_steps=None, n_eval=6,
-                sampler="ddim", sampling_timesteps=25):
+                sampler="ddim", sampling_timesteps=25, time_grid=None):
     """Train both stages, generate held-out clips through the fused
     pipeline, score vs ground truth and vs the mono-copy baseline."""
     from diffbinaural_tpu.infer.pipeline import BinauralPipeline
@@ -214,6 +214,7 @@ def run_quality(tiny=False, s1_steps=None, s2_steps=None, n_eval=6,
         total_frames=total_frames, window=window, stride=window // 2,
         crop_frames=crop, unet_batch=4 if tiny else 8,
         sampler=sampler, sampling_timesteps=sampling_timesteps,
+        time_grid=time_grid,
     )
 
     clips = make_quality_clips(n_eval, total_frames)
@@ -243,7 +244,8 @@ def run_quality(tiny=False, s1_steps=None, s2_steps=None, n_eval=6,
     model_m, base_m = agg(model_scores), agg(base_scores)
     res = {
         "run": "quality_battery", "tiny": tiny, "dim": dim,
-        "sampler": f"{sampler}{sampling_timesteps}",
+        "sampler": f"{sampler}{sampling_timesteps}"
+        + (f"/{time_grid}" if time_grid else ""),
         "s1_steps": s1_steps, "s2_steps": s2_steps, "n_eval": n_eval,
         "total_frames": total_frames,
         # None (-> JSON null) when params came from cache: losses are NaN
@@ -277,4 +279,7 @@ if __name__ == "__main__":
     s2 = int(sys.argv[3]) if len(sys.argv) > 3 else None
     n_eval = int(sys.argv[4]) if len(sys.argv) > 4 else 6
     run_quality(tiny=(mode == "toy"), s1_steps=s1, s2_steps=s2,
-                n_eval=n_eval)
+                n_eval=n_eval,
+                sampler=os.environ.get("QUALITY_SAMPLER", "ddim"),
+                sampling_timesteps=int(os.environ.get("QUALITY_STEPS", "25")),
+                time_grid=os.environ.get("QUALITY_GRID") or None)
