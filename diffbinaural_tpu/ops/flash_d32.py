@@ -19,6 +19,19 @@ overhead.  This kernel:
     merge, giving the Mosaic scheduler independent MXU/VPU chains to
     overlap (chunk i's exp can run while chunk i+1's matmul streams).
 
+Why the remaining gap to the ≈3.4 ms MXU floor (measured 4.40 ms at
+n=6400 with the base-2 primal) cannot be closed by packing the QKᵀ
+contraction: the r3-review idea of "batch-2 K/V in the depth dimension"
+is algebraically invalid — depth-concatenating two (batch, head) pairs,
+[q_A|q_B]·[K_A|K_B]ᵀ, computes q_A·K_Aᵀ + q_B·K_Bᵀ, the SUM of the two
+score matrices, not both; recovering the individual scores requires
+zero-padding ([q_A|0]·[K_A|K_B]ᵀ), which occupies the same MXU passes as
+the unpacked form.  Nor can the two attention layers per UNet block be
+merged: they are sequential (layer 2 consumes layer 1's output).  The
+residual ~1 ms over the pass floor is the online-merge VPU work (5-chunk
+max/exp2/rescale) that already overlaps the MXU chain; the exp2 primal
+(2026-08-20: 4.8 → 4.40 ms) recovered the share that was serial.
+
 The backward reuses the stock flash kernels
 (jax.experimental.pallas.ops.tpu.flash_attention._flash_attention_bwd_dkv /
 _bwd_dq): the forward emits their exact (l, m) residual convention
