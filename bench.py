@@ -57,26 +57,23 @@ WINDOW = 80
 UNET_BATCH = 8
 BASELINE_CLIPS_PER_SEC = 0.42
 
-# Headline = the CERTIFIED sampler: the fastest (sampler, grid, NFE) that
-# passes the production-scale quality gates (tgt + melrmse within 2% of
-# DDIM-25 on the trained dim=64 serving model — VALIDATION.md
-# "Production-scale solver certification").  As of r4 that is the SAME
-# DDIM update rule on a λ-uniform terminal-at-zero grid at 12 steps
-# ("ddiml12"): measured on the trained production model it beats the
-# reference's uniform 25-step grid on ALL THREE yardsticks (endpoint
-# error 0.073 vs 0.192, target L1 0.121 vs 0.131, mel-RMSE 1.113 vs
-# 1.237) and holds across 3 independent noise draws
-# (benchmarks/results/solver_robust_r4.log).  The r3 DPM++12 headline is
-# gone: it FAILED these gates (+60% target error — the toy-scale evidence
-# did not transfer).  The reference-parity 25-step pipeline is still
-# timed as ddim25_* in the same JSON.  BENCH_SAMPLER/BENCH_STEPS/
-# BENCH_GRID override for ad-hoc runs.
+# Headline = the reference-parity 25-step uniform DDIM pipeline.  No fast
+# sampler is certifiable: the production-scale gates (tgt + melrmse
+# within 2% of DDIM-25 on the trained dim=64 serving model) give
+# TRAINING-RUN-DEPENDENT rankings — the λ-grid-12 mode that won every
+# yardstick on the 2026-08-20-morning training run (solver_eval_r4.log)
+# came out +65% tgt on a fresh run of the same recipe, where uniform
+# DDIM-12 (which had FAILED the first run) won instead
+# (benchmarks/results/solver_recheck_r4.log; analysis in VALIDATION.md
+# "r4 retrain-robustness recheck").  A serving default must be robust to
+# retraining, so the headline is the reference's own production setting;
+# the 12-step timing is still reported as fast_uncertified_* in the same
+# JSON.  BENCH_SAMPLER/BENCH_STEPS/BENCH_GRID override for ad-hoc runs.
 SAMPLER = os.environ.get("BENCH_SAMPLER", "ddim")
-STEPS = int(os.environ.get("BENCH_STEPS", "12"))
-# BENCH_GRID="" explicitly selects the uniform grid; unset → certified λ
+STEPS = int(os.environ.get("BENCH_STEPS", "25"))
 TIME_GRID = (
     (os.environ["BENCH_GRID"] or None)
-    if "BENCH_GRID" in os.environ else "lambda"
+    if "BENCH_GRID" in os.environ else None
 )
 PARITY_STEPS = 25  # the reference's production DDIM setting
 # BENCH_FUSE=0 → two-dispatch pipeline (stage1+stitch / vocoder), the
@@ -357,8 +354,10 @@ def main():
     if fused_error is not None:
         record["fused_fallback"] = fused_error
     record["sampler_quality_evidence"] = (
-        "VALIDATION.md production-scale solver certification "
-        "(benchmarks/results/solver_eval_r4.log + solver_robust_r4.log)"
+        "VALIDATION.md production-scale solver certification + r4 "
+        "retrain-robustness recheck (benchmarks/results/solver_eval_r4.log, "
+        "solver_robust_r4.log, solver_recheck_r4.log: fast-mode rankings "
+        "flip across training runs; serving default = reference parity)"
     )
 
     def secondary(prefix, sampler, steps, time_grid, n=5):
@@ -381,6 +380,10 @@ def main():
     if (SAMPLER, STEPS, TIME_GRID) != ("ddim", PARITY_STEPS, None):
         # reference-parity pipeline, same glue — solver is the only change
         secondary("ddim25", "ddim", PARITY_STEPS, None)
+    else:
+        # 12-step timing for reference: NOT certified (solver rankings are
+        # training-run-dependent — see sampler_quality_evidence)
+        secondary("fast_uncertified_ddim12", "ddim", 12, None)
     print(json.dumps(record))
 
 
