@@ -36,7 +36,8 @@ import numpy as np
 import convergence as conv
 
 
-def main(steps=1500, batch=16, dim=64, frames=80, n_clips=256, n_eval=8):
+def main(steps=1500, batch=16, dim=64, frames=80, n_clips=256, n_eval=8,
+         candidates=None, n_draws=3):
     from diffbinaural_tpu.diffusion import GaussianDiffusion
     from diffbinaural_tpu.infer.stage1 import denormalize_mel, normalize_mel
 
@@ -55,12 +56,15 @@ def main(steps=1500, batch=16, dim=64, frames=80, n_clips=256, n_eval=8):
     t_raw = jnp.asarray(target[:n_eval])
     mono_rep = jnp.repeat(normalize_mel(jnp.asarray(mono[:n_eval])), 2, axis=1)
 
-    candidates = [
-        ("ddim120", dict(sampling_timesteps=120)),
-        ("ddim25", dict(sampling_timesteps=25)),
-        ("ddiml12", dict(sampling_timesteps=12, time_grid="lambda")),
-        ("ddim12", dict(sampling_timesteps=12)),
-    ]
+    if candidates is None:
+        candidates = [
+            ("ddim120", dict(sampling_timesteps=120)),
+            ("ddim25", dict(sampling_timesteps=25)),
+            ("ddiml12", dict(sampling_timesteps=12, time_grid="lambda")),
+            ("ddim12", dict(sampling_timesteps=12)),
+        ]
+    gate_name = ("ddim25" if any(n == "ddim25" for n, _ in candidates)
+                 else candidates[0][0])
     res = {"run": "solver_recheck", "steps": steps, "dim": dim,
            "frames": frames, "n_eval": n_eval,
            "tgt_monocopy": round(float(jnp.mean(jnp.abs(mono_rep - t_norm))), 4),
@@ -69,7 +73,7 @@ def main(steps=1500, batch=16, dim=64, frames=80, n_clips=256, n_eval=8):
     for name, kw in candidates:
         fn = jax.jit(lambda c, k, kw=kw: diff.ddim_sample(model_fn, c, k, **kw))
         tgts, rmses = [], []
-        for d in range(3):  # 3 independent x_T draws (solver_robust.py style)
+        for d in range(n_draws):  # independent x_T draws (solver_robust.py)
             x = fn(cond, jax.random.PRNGKey(11 + 37 * d))
             tgts.append(float(jnp.mean(jnp.abs(x - t_norm))))
             rmses.append(float(jnp.sqrt(jnp.mean(
@@ -80,17 +84,18 @@ def main(steps=1500, batch=16, dim=64, frames=80, n_clips=256, n_eval=8):
             "tgt_mean": round(float(np.mean(tgts)), 4),
             "melrmse_mean": round(float(np.mean(rmses)), 4),
         }
-        if name == "ddim25":
+        if name == gate_name:
             gate_ref = res["draws"][name]
         print(f"{name}: tgt {tgts} melrmse {rmses}", flush=True)
     for name in list(res["draws"]):
-        if gate_ref and name != "ddim25":
+        if gate_ref and name != gate_name:
             r = res["draws"][name]
             r["passes_2pct_gate"] = bool(
                 r["tgt_mean"] <= 1.02 * gate_ref["tgt_mean"]
                 and r["melrmse_mean"] <= 1.02 * gate_ref["melrmse_mean"])
     res["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(res), flush=True)
+    return res
 
 
 if __name__ == "__main__":

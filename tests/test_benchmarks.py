@@ -15,6 +15,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -105,3 +106,23 @@ def test_micro_help_modes_run_as_subprocess():
         env={**os.environ, "JAX_PLATFORMS": ""},
     )
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+@pytest.mark.slow
+def test_solver_recheck_tiny_end_to_end():
+    """Micro solver_recheck on CPU: exercises the retrain-robustness
+    harness (train -> per-candidate multi-draw eval -> gate fields) with
+    short-step candidates.  slow: ~4-8 min of CPU sampler compiles."""
+    sr = _import("solver_recheck")
+    res = sr.main(
+        steps=4, batch=2, dim=16, frames=16, n_clips=12, n_eval=2,
+        candidates=[("ddim4", dict(sampling_timesteps=4)),
+                    ("ddim2", dict(sampling_timesteps=2))],
+        n_draws=2)
+    assert res["run"] == "solver_recheck"
+    assert np.isfinite(res["tgt_monocopy"])
+    for name in ("ddim4", "ddim2"):
+        d = res["draws"][name]
+        assert len(d["tgt"]) == 2 and all(np.isfinite(v) for v in d["tgt"])
+    assert "passes_2pct_gate" in res["draws"]["ddim2"]
+    assert "passes_2pct_gate" not in res["draws"]["ddim4"]
