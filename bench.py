@@ -319,10 +319,20 @@ def main():
     MEASURED_MATMUL_PEAK = 160e12
 
     def _flops(fn, *args):
-        cost = jax.jit(fn).lower(*args).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        # the axon tunnel client can return None from cost_analysis();
+        # lowering against the CPU client gives the same HLO FLOP count
+        for backend in (None, "cpu"):
+            jf = jax.jit(fn) if backend is None else jax.jit(
+                fn, backend=backend)
+            try:
+                cost = jf.lower(*args).cost_analysis()
+            except Exception:  # noqa: BLE001
+                cost = None
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0] if cost else None
+            if cost:
+                return float(cost.get("flops", 0.0))
+        raise RuntimeError("cost_analysis unavailable on every backend")
 
     try:
         b = UNET_BATCH
