@@ -320,12 +320,17 @@ def main():
 
     def _flops(fn, *args):
         # the axon tunnel client can return None from cost_analysis();
-        # lowering against the CPU client gives the same HLO FLOP count
+        # lowering against the CPU client gives the same HLO FLOP count.
+        # Lower from avals (ShapeDtypeStruct) so TPU-resident concrete
+        # args don't pin the lowering to the tunnel client.
+        avals = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+            args)
         for backend in (None, "cpu"):
             jf = jax.jit(fn) if backend is None else jax.jit(
                 fn, backend=backend)
             try:
-                cost = jf.lower(*args).cost_analysis()
+                cost = jf.lower(*avals).cost_analysis()
             except Exception:  # noqa: BLE001
                 cost = None
             if isinstance(cost, (list, tuple)):
