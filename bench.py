@@ -318,26 +318,7 @@ def main():
     V5E_PEAK_FLOPS = 197e12
     MEASURED_MATMUL_PEAK = 160e12
 
-    def _flops(fn, *args):
-        # the axon tunnel client can return None from cost_analysis();
-        # lowering against the CPU client gives the same HLO FLOP count.
-        # Lower from avals (ShapeDtypeStruct) so TPU-resident concrete
-        # args don't pin the lowering to the tunnel client.
-        avals = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
-            args)
-        for backend in (None, "cpu"):
-            jf = jax.jit(fn) if backend is None else jax.jit(
-                fn, backend=backend)
-            try:
-                cost = jf.lower(*avals).cost_analysis()
-            except Exception:  # noqa: BLE001
-                cost = None
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0] if cost else None
-            if cost:
-                return float(cost.get("flops", 0.0))
-        raise RuntimeError("cost_analysis unavailable on every backend")
+    from diffbinaural_tpu.utils.profiling import hlo_cost_flops as _flops
 
     try:
         b = UNET_BATCH

@@ -37,15 +37,17 @@ V5E_PEAK_FLOPS = 197e12  # nominal bf16; measured matmul ceiling ≈160e12
 
 
 def hlo_flops(fn, *args):
-    """FLOPs of fn via XLA's HLO cost analysis on the UNOPTIMIZED module
-    (host-side; no backend compile).  CAVEAT: scan/while bodies are counted
-    ONCE — only pass scan-free programs (e.g. a single train step, not the
-    reps-scanned wrapper).  Returns 0.0 on failure."""
+    """FLOPs of fn via XLA's HLO cost analysis (utils.profiling.
+    hlo_cost_flops: avals-based, CPU-client + interpret-Pallas fallback
+    for the tunnel backend).  CAVEAT: scan/while bodies are counted ONCE
+    — only pass scan-free programs (e.g. a single train step, not the
+    reps-scanned wrapper), and pass a FRESH lambda (never the executed fn
+    object — the interpret trace is cached by (fn, avals)).  Returns 0.0
+    on failure."""
+    from diffbinaural_tpu.utils.profiling import hlo_cost_flops
+
     try:
-        cost = jax.jit(fn).lower(*args).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return hlo_cost_flops(lambda *a: fn(*a), *args)
     except Exception:  # noqa: BLE001
         return 0.0
 

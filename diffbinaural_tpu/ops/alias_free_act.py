@@ -65,6 +65,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..signal.filters import kaiser_sinc_filter1d
+from ._interpret import pallas_interpret
 
 RATIO = 2
 KSIZE = 12
@@ -575,7 +576,7 @@ def _fused_forward(x: jnp.ndarray, alpha_eff, beta_eff) -> jnp.ndarray:
     on the replicated input rather than the reference's clamped
     intermediate — interior samples match the XLA composition."""
     g = _plan(x)
-    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    interpret = pallas_interpret()  # CPU tests run interpreted
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
     x_ops, x_specs = _window_pieces(x, g, True, cdt)
@@ -635,7 +636,7 @@ def _fused_backward(x, dz, alpha_eff, beta_eff):
     samples is dropped (matches the forward's documented boundary
     convention; ≤8 outer samples)."""
     g = _plan(x, bwd=True)
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
     x_ops, x_specs = _window_pieces(x, g, True, cdt)

@@ -58,6 +58,8 @@ from jax.experimental.pallas.ops.tpu.flash_attention import (
 
 LANE = 128
 
+from ._interpret import pallas_interpret
+
 # Inference-path softmax base: with LOG2_E folded into the q scale the
 # kernel's transcendental becomes exp2 — mathematically the SAME softmax
 # (softmax_e(s) == 2^(s·log2e − m2)/Σ…), one VPU multiply cheaper per
@@ -131,7 +133,7 @@ def _fwd(q, k, v, bq: int | None = None, chunks: int | None = None,
     """(B, H, N, D) × 3 → (o, l, m) [or just o]; l/m in the stock-flash
     residual convention, shape (B, H, N)."""
     b, h, n, d = q.shape
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     n_pad = _round_up(n, LANE)
     if n_pad != n:
         pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))

@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import alias_free_act as afa
+from ._interpret import pallas_interpret
 
 LANE = 128
 CO_CHUNK = 128
@@ -127,7 +128,7 @@ def _kernel(*refs, t_tile, HY, HZ, k, dilation, t_rows, c, pieces):
 def _fused_forward(x, alpha_eff, beta_eff, kernel, bias, dilation):
     """x (B, T, C) → conv(act(x)) (B, T, C); kernel (k, C, C), bias (C,)."""
     g = _plan(x, kernel.shape[0], dilation)
-    interpret = jax.default_backend() != "tpu"
+    interpret = pallas_interpret()
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     k, c = kernel.shape[0], g["c"]
     tt, HY, HZ, HR = g["t_tile"], g["HY"], g["HZ"], g["HR"]

@@ -64,3 +64,52 @@ def device_memory_stats(device=None) -> Optional[Dict[str, float]]:
         "peak_bytes_gb": stats.get("peak_bytes_in_use", 0) / 1e9,
         "bytes_limit_gb": stats.get("bytes_limit", 0) / 1e9,
     }
+
+
+def hlo_cost_flops(fn: Callable, *args) -> float:
+    """FLOPs of ``fn(*args)`` via XLA's HLO cost analysis on the
+    UNOPTIMIZED module (host-side; no backend compile).
+
+    Caveats: scan/while bodies are counted ONCE — pass scan-free programs
+    (a single step, not a reps-scanned wrapper).  The axon tunnel client
+    returns None from cost_analysis(), so on failure the lowering is
+    retried against the CPU client from avals (device-free), with
+    DIFFBINAURAL_PALLAS_INTERPRET=1 so the in-tree Pallas kernels trace
+    as regular XLA ops the CPU pipeline can analyse (same matmul /
+    elementwise dataflow, so the count stays representative).
+
+    Raises RuntimeError when no client can analyse the module.
+
+    Do not pass a fn object you will later execute under jit with the
+    SAME avals: the interpret-mode trace made here is cached by (fn,
+    avals) and would be reused by the real execution.  Pass a fresh
+    lambda wrapper instead (all in-tree callers do).
+    """
+    import os
+
+    avals = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            jax.numpy.shape(a), jax.numpy.result_type(a)),
+        args)
+
+    def attempt(backend):
+        jf = jax.jit(fn) if backend is None else jax.jit(fn, backend=backend)
+        try:
+            cost = jf.lower(*avals).cost_analysis()
+        except Exception:  # noqa: BLE001 — fall through to the next client
+            return None
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else None
+        return cost
+
+    # Interpret mode must be on for BOTH attempts: jax's trace cache is
+    # keyed on (fn, avals) but not backend, so a first non-interpret
+    # trace would be reused by the CPU attempt and fail its lowering.
+    os.environ["DIFFBINAURAL_PALLAS_INTERPRET"] = "1"
+    try:
+        cost = attempt(None) or attempt("cpu")
+    finally:
+        os.environ.pop("DIFFBINAURAL_PALLAS_INTERPRET", None)
+    if not cost:
+        raise RuntimeError("cost_analysis unavailable on every backend")
+    return float(cost.get("flops", 0.0))
