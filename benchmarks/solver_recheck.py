@@ -93,6 +93,19 @@ def main(steps=1500, batch=16, dim=64, frames=80, n_clips=256, n_eval=8,
             r["passes_2pct_gate"] = bool(
                 r["tgt_mean"] <= 1.02 * gate_ref["tgt_mean"]
                 and r["melrmse_mean"] <= 1.02 * gate_ref["melrmse_mean"])
+            # ADVICE r4: a mean over n_draws noise draws can pass/fail on
+            # draw noise alone.  Draw d shares its x_T key across
+            # candidates, so gate per paired draw and require ALL to hold;
+            # certification keys on this stricter boolean.
+            per_draw = [
+                bool(r["tgt"][d] <= 1.02 * gate_ref["tgt"][d]
+                     and r["melrmse"][d] <= 1.02 * gate_ref["melrmse"][d])
+                for d in range(len(r["tgt"]))
+            ]
+            r["gate_per_draw"] = per_draw
+            r["passes_2pct_gate_all_draws"] = bool(all(per_draw))
+            r["tgt_spread"] = [round(min(r["tgt"]), 4),
+                               round(max(r["tgt"]), 4)]
     res["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(res), flush=True)
     return res

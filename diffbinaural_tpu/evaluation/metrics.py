@@ -317,32 +317,74 @@ def _project(ref_group: np.ndarray, est: np.ndarray, flen: int) -> np.ndarray:
     return proj[:n]
 
 
+def _bss_decompose(reference_sources, est, j_true, flen):
+    """(s_true, e_interf, e_artif) of estimate ``est`` against true source
+    ``j_true`` — BSS Eval v3 decomposition."""
+    s_true = _project(reference_sources[j_true : j_true + 1], est, flen)
+    e_spat_plus = _project(reference_sources, est, flen)
+    return s_true, e_spat_plus - s_true, est - e_spat_plus
+
+
+def _bss_ratios(s_true, e_interf, e_artif):
+    sdr = 10 * np.log10(
+        np.sum(s_true**2) / max(np.sum((e_interf + e_artif) ** 2), 1e-20))
+    sir = 10 * np.log10(
+        np.sum(s_true**2) / max(np.sum(e_interf**2), 1e-20))
+    sar = 10 * np.log10(
+        np.sum((s_true + e_interf) ** 2) / max(np.sum(e_artif**2), 1e-20))
+    return sdr, sir, sar
+
+
 def bss_eval_sources(reference_sources: np.ndarray,
-                     estimated_sources: np.ndarray, flen: int = 512):
+                     estimated_sources: np.ndarray, flen: int = 512,
+                     compute_permutation: bool = True):
     """SDR/SIR/SAR per source — mir_eval.separation.bss_eval_sources
-    equivalent (the reference calls it at :117; identity permutation,
-    matching its 2-channel usage)."""
+    equivalent (the reference calls it at evaluate_binaural_22050.py:117
+    with mir_eval's default ``compute_permutation=True``).
+
+    ``compute_permutation=True`` scores every (estimate, true-source) pair
+    and returns the assignment maximising mean SIR, exactly mir_eval's
+    semantics: ``perm[j]`` is the estimate index assigned to true source
+    ``j`` and ``sdr[j]``/... score that pairing.  For near-symmetric L/R
+    binaural estimates the search can pick the swapped assignment, which
+    the r4 identity-permutation shortcut silently diverged on (VERDICT r4
+    weak #6).  ``compute_permutation=False`` pins the identity pairing.
+    """
+    import itertools
+
     nsrc, n = reference_sources.shape
-    sdr = np.empty(nsrc)
-    sir = np.empty(nsrc)
-    sar = np.empty(nsrc)
-    for j in range(nsrc):
-        est = estimated_sources[j]
-        s_true = _project(reference_sources[j : j + 1], est, flen)
+    if not compute_permutation:
+        sdr = np.empty(nsrc)
+        sir = np.empty(nsrc)
+        sar = np.empty(nsrc)
+        for j in range(nsrc):
+            sdr[j], sir[j], sar[j] = _bss_ratios(
+                *_bss_decompose(reference_sources, estimated_sources[j],
+                                j, flen))
+        return sdr, sir, sar, np.arange(nsrc)
+
+    # full pairwise matrix: row = estimate index, col = true-source index
+    sdr_m = np.empty((nsrc, nsrc))
+    sir_m = np.empty((nsrc, nsrc))
+    sar_m = np.empty((nsrc, nsrc))
+    for jest in range(nsrc):
+        # e_spat_plus (the projection onto ALL references) is independent
+        # of the candidate true source — decompose once per estimate
+        est = estimated_sources[jest]
         e_spat_plus = _project(reference_sources, est, flen)
-        e_interf = e_spat_plus - s_true
         e_artif = est - e_spat_plus
-        sdr[j] = 10 * np.log10(
-            np.sum(s_true**2) / max(np.sum((e_interf + e_artif) ** 2), 1e-20)
-        )
-        sir[j] = 10 * np.log10(
-            np.sum(s_true**2) / max(np.sum(e_interf**2), 1e-20)
-        )
-        sar[j] = 10 * np.log10(
-            np.sum((s_true + e_interf) ** 2) / max(np.sum(e_artif**2), 1e-20)
-        )
-    perm = np.arange(nsrc)
-    return sdr, sir, sar, perm
+        for jtrue in range(nsrc):
+            s_true = _project(reference_sources[jtrue : jtrue + 1], est, flen)
+            sdr_m[jest, jtrue], sir_m[jest, jtrue], sar_m[jest, jtrue] = (
+                _bss_ratios(s_true, e_spat_plus - s_true, e_artif))
+    best_perm, best_sir = None, -np.inf
+    for p in itertools.permutations(range(nsrc)):
+        mean_sir = np.mean([sir_m[p[j], j] for j in range(nsrc)])
+        if mean_sir > best_sir:
+            best_sir, best_perm = mean_sir, p
+    perm = np.asarray(best_perm)
+    idx = np.arange(nsrc)
+    return sdr_m[perm, idx], sir_m[perm, idx], sar_m[perm, idx], perm
 
 
 def compute_sar_sir_sdr(predicted, gt, flen: int = 512):

@@ -84,6 +84,12 @@ def hlo_cost_flops(fn: Callable, *args) -> float:
     SAME avals: the interpret-mode trace made here is cached by (fn,
     avals) and would be reused by the real execution.  Pass a fresh
     lambda wrapper instead (all in-tree callers do).
+
+    NOT safe concurrent with other tracing in the same process: the
+    interpret gate is a process-global env var held for the duration of
+    both lowering attempts, so any jit trace happening in that window
+    would be traced (and cached) in interpret mode.  Fine for the
+    single-threaded bench callers this serves.
     """
     import os
 
@@ -91,25 +97,38 @@ def hlo_cost_flops(fn: Callable, *args) -> float:
         lambda a: jax.ShapeDtypeStruct(
             jax.numpy.shape(a), jax.numpy.result_type(a)),
         args)
+    errors = []
 
     def attempt(backend):
         jf = jax.jit(fn) if backend is None else jax.jit(fn, backend=backend)
         try:
             cost = jf.lower(*avals).cost_analysis()
-        except Exception:  # noqa: BLE001 — fall through to the next client
+        except Exception as e:  # noqa: BLE001 — fall through to next client
+            errors.append(f"{backend or 'default'}: {type(e).__name__}: {e}")
             return None
         if isinstance(cost, (list, tuple)):
             cost = cost[0] if cost else None
+        if not cost:
+            errors.append(f"{backend or 'default'}: cost_analysis() "
+                          f"returned {cost!r}")
         return cost
 
     # Interpret mode must be on for BOTH attempts: jax's trace cache is
     # keyed on (fn, avals) but not backend, so a first non-interpret
     # trace would be reused by the CPU attempt and fail its lowering.
+    # Save/restore a pre-existing user-set value instead of popping it
+    # (ADVICE r4: popping silently reverted a user-forced interpret gate).
+    prev = os.environ.get("DIFFBINAURAL_PALLAS_INTERPRET")
     os.environ["DIFFBINAURAL_PALLAS_INTERPRET"] = "1"
     try:
         cost = attempt(None) or attempt("cpu")
     finally:
-        os.environ.pop("DIFFBINAURAL_PALLAS_INTERPRET", None)
+        if prev is None:
+            os.environ.pop("DIFFBINAURAL_PALLAS_INTERPRET", None)
+        else:
+            os.environ["DIFFBINAURAL_PALLAS_INTERPRET"] = prev
     if not cost:
-        raise RuntimeError("cost_analysis unavailable on every backend")
+        raise RuntimeError(
+            "cost_analysis unavailable on every backend: "
+            + "; ".join(errors))
     return float(cost.get("flops", 0.0))

@@ -113,6 +113,24 @@ def test_bss_eval_scaled_and_filtered_invariance():
     assert np.all(sdr > 30)  # wraparound edge limits the rolled copy
 
 
+def test_bss_eval_permutation_search():
+    """mir_eval parity (VERDICT r4 weak #6): compute_permutation=True must
+    recover swapped channel assignments; the identity mode must not."""
+    rng = np.random.default_rng(2)
+    src = rng.standard_normal((2, 8000))
+    swapped = src[::-1].copy()
+    sdr_p, sir_p, _, perm = bss_eval_sources(src, swapped, flen=32)
+    assert list(perm) == [1, 0]          # estimate 1 is true source 0
+    assert np.all(sdr_p > 50)            # search finds the perfect pairing
+    sdr_i, *_ , perm_i = bss_eval_sources(src, swapped, flen=32,
+                                          compute_permutation=False)
+    assert list(perm_i) == [0, 1]
+    assert np.all(sdr_i < 10)            # identity pairing scores the mismatch
+    # unswapped estimates: both modes agree on the identity assignment
+    sdr_a, _, _, perm_a = bss_eval_sources(src, src, flen=32)
+    assert list(perm_a) == [0, 1] and np.all(sdr_a > 50)
+
+
 def test_filename_mapping():
     assert map_pred_to_gt_name("basketball_m40_10.npy") == "basketball_0_10.wav"
     assert map_pred_to_gt_name("speech_5_2.npy") == "speech_5_2.wav"
