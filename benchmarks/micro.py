@@ -296,6 +296,105 @@ def bench_unet_ablate(batch=8, reps=10):
         attn_mod.FeedForward.__call__ = orig_ff
 
 
+def bench_unet_residue(batch=8, reps=10):
+    """Attribute the NON-attention residue of the serving UNet step
+    (VERDICT r4 next-round #3: 14.25 ms step vs ~12.5 ms floor, with the
+    ResNet/FiLM convs unprofiled).  All rows run with attention+FF
+    patched to identity (the `ablate` mode's last row is the baseline);
+    successive rows then cheapen one conv-path component at a time by
+    swapping the module CLASS (subclasses keep flax's compact machinery
+    intact, unlike lambda patches, so param-creating variants work):
+
+      row 1  conv-path baseline (attn+ff identity)
+      row 2  + FiLM (time-emb scale/shift) skipped
+      row 3  + GroupNorms skipped
+      row 4  + weight standardisation skipped (plain 3x3 conv)
+      row 5  + 3x3 -> 1x1 convs (conv FLOPs ÷9; what remains is
+               bandwidth + small matmuls + glue)
+    """
+    import flax.linen as nn_
+
+    from diffbinaural_tpu.models import attention as attn_mod
+    from diffbinaural_tpu.models import unet as unet_mod
+
+    class NoFilmResnetBlock(unet_mod.ResnetBlock):
+        @nn_.compact
+        def __call__(self, x, time_emb=None, deterministic=True):
+            h = nn_.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                              dtype=self.dtype, name="norm_in")(x)
+            h = nn_.silu(h)
+            h = unet_mod.WeightStandardizedConv(
+                self.dim_out, dtype=self.dtype, name="conv1")(h)
+            h = nn_.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                              dtype=self.dtype, name="norm_mid")(h)
+            h = nn_.silu(h)
+            h = unet_mod.WeightStandardizedConv(
+                self.dim_out, dtype=self.dtype, name="conv2")(h)
+            if x.shape[-1] != self.dim_out:
+                x = nn_.Dense(self.dim_out, dtype=self.dtype,
+                              name="res_conv")(x)
+            return h + x
+
+    class NoNormResnetBlock(unet_mod.ResnetBlock):
+        @nn_.compact
+        def __call__(self, x, time_emb=None, deterministic=True):
+            h = nn_.silu(x)
+            h = unet_mod.WeightStandardizedConv(
+                self.dim_out, dtype=self.dtype, name="conv1")(h)
+            h = nn_.silu(h)
+            h = unet_mod.WeightStandardizedConv(
+                self.dim_out, dtype=self.dtype, name="conv2")(h)
+            if x.shape[-1] != self.dim_out:
+                x = nn_.Dense(self.dim_out, dtype=self.dtype,
+                              name="res_conv")(x)
+            return h + x
+
+    class PlainConv(unet_mod.WeightStandardizedConv):
+        @nn_.compact
+        def __call__(self, x):
+            kh, kw = self.kernel_size
+            return nn_.Conv(self.features, (kh, kw), padding="SAME",
+                            dtype=self.dtype, name="plain")(x)
+
+    class PlainConv1x1(unet_mod.WeightStandardizedConv):
+        @nn_.compact
+        def __call__(self, x):
+            return nn_.Dense(self.features, dtype=self.dtype,
+                             name="plain1x1")(x)
+
+    saved_attn = (attn_mod.Attention.__call__,
+                  attn_mod.LinearAttentionBlock.__call__,
+                  attn_mod.CrossAttention.__call__,
+                  attn_mod.FeedForward.__call__)
+    saved_unet = (unet_mod.ResnetBlock, unet_mod.WeightStandardizedConv)
+
+    def run(tag):
+        bench_unet(batch=batch, reps=reps)
+        print(f"  ^ {tag}")
+
+    try:
+        attn_mod.Attention.__call__ = lambda self, x, time_emb=None: x * 1.0001
+        attn_mod.LinearAttentionBlock.__call__ = lambda self, x: x * 1.0001
+        attn_mod.CrossAttention.__call__ = (
+            lambda self, x, context=None, mask=None: x * 1.0001)
+        attn_mod.FeedForward.__call__ = (
+            lambda self, x, deterministic=True: x * 1.0001)
+        run("conv-path baseline (attn+ff identity)")
+        unet_mod.ResnetBlock = NoFilmResnetBlock
+        run("+ FiLM skipped")
+        unet_mod.ResnetBlock = NoNormResnetBlock
+        run("+ GroupNorms skipped")
+        unet_mod.WeightStandardizedConv = PlainConv
+        run("+ weight standardisation skipped")
+        unet_mod.WeightStandardizedConv = PlainConv1x1
+        run("+ 3x3 -> 1x1 convs")
+    finally:
+        (attn_mod.Attention.__call__, attn_mod.LinearAttentionBlock.__call__,
+         attn_mod.CrossAttention.__call__,
+         attn_mod.FeedForward.__call__) = saved_attn
+        unet_mod.ResnetBlock, unet_mod.WeightStandardizedConv = saved_unet
+
+
 def check_flash_correctness(n=6400, heads=4, d=32, batch=2):
     """_sdpa flash path vs dense einsum reference (fwd + grads), on the
     live backend."""
@@ -1088,6 +1187,8 @@ if __name__ == "__main__":
         bench_act(t=220416, c=24, batch=2, dtype=jnp.bfloat16)
     if which in ("ablate",):
         bench_unet_ablate()
+    if which in ("unetresidue",):
+        bench_unet_residue()
     if which in ("attnblocks",):
         bench_attn_blocks()
     if which in ("flashsweep",):
