@@ -126,3 +126,8 @@ def test_solver_recheck_tiny_end_to_end():
         assert len(d["tgt"]) == 2 and all(np.isfinite(v) for v in d["tgt"])
     assert "passes_2pct_gate" in res["draws"]["ddim2"]
     assert "passes_2pct_gate" not in res["draws"]["ddim4"]
+    # ADVICE r4: certification keys on the stricter all-draws gate
+    d2 = res["draws"]["ddim2"]
+    assert len(d2["gate_per_draw"]) == 2
+    assert d2["passes_2pct_gate_all_draws"] == all(d2["gate_per_draw"])
+    assert len(d2["tgt_spread"]) == 2
