@@ -22,6 +22,10 @@ DPMCHECK_PARAMS=/tmp/s1_runC.msgpack \
   timeout 3000 python -u benchmarks/solver_recheck.py 1500 16 64 80 256 \
   2>&1 | tee $R/solver_recheck_r5.log
 
+# 6. visual-path bench, n=16 with retried MFU (VERDICT #4c)
+BENCH_VISUAL=1 BENCH_ITERS=16 timeout 2400 python -u bench.py \
+  2>&1 | tee $R/bench_visual_r5.log
+
 # 4. UNet residue attribution (VERDICT #3)
 timeout 2400 python -u benchmarks/micro.py unetresidue 2>&1 | tee $R/micro_unetresidue_r5.log
 
@@ -30,6 +34,3 @@ timeout 1200 python -u benchmarks/micro.py train1 2>&1 | tee $R/micro_train1_r5.
 timeout 1200 python -u benchmarks/micro.py train2 2>&1 | tee $R/micro_train2_r5.log
 timeout 2400 python -u benchmarks/micro.py unetbatch 2>&1 | tee $R/micro_unetbatch_r5.log
 
-# 6. visual-path bench, n=16 with retried MFU (VERDICT #4c)
-BENCH_VISUAL=1 BENCH_ITERS=16 timeout 2400 python -u bench.py \
-  2>&1 | tee $R/bench_visual_r5.log
